@@ -1,0 +1,31 @@
+"""In-flight schema evolution: apply DDL events interleaved in the log.
+
+Evolution events share the change log's offset order; the replay engine
+applies every evolution op whose offset falls inside a batch's range
+*before* merging that batch's data events, so rows merged after the op
+land under the new schema while older files stay untouched
+(metadata-only evolution — no rewrite).
+
+Reference analogs: imposed/renamed headers
+(``src/byggesager/byggesager.py:36``, ``src/jobindsats/jobindsats.py:42-51``)
+and the try-coerce type-widening loop (``src/jobs/indkoebsdata.py:137-147``)
+— re-expressed as explicit, versioned DDL instead of inference.
+"""
+
+from __future__ import annotations
+
+import json
+
+from etl_spark.table.manifest import ManifestTable
+
+
+def apply_evolution_op(table: ManifestTable, kind: str, column: str, detail: str | None) -> None:
+    d = json.loads(detail) if detail else {}
+    if kind == "add_column":
+        table.add_column(column, d.get("type", "string"), d.get("default"))
+    elif kind == "rename_column":
+        table.rename_column(column, d["new_name"])
+    elif kind == "widen_type":
+        table.widen_type(column, d["new_type"])
+    else:
+        raise ValueError(f"unknown schema-evolution kind: {kind!r}")

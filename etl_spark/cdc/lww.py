@@ -1,0 +1,92 @@
+"""Last-writer-wins resolution — the CDC core operator.
+
+The BASELINE total order is ``(commit, event offset)``; the winner per
+key is the event with the greatest order tuple. This is the Spark-native
+re-expression of the reference's effective-dated timeline resolve
+(``src/delta_client.py:136-147``: latest effective date wins;
+``src/sd_client.py:195-199``: max activation / min deactivation).
+
+Physical strategy — chosen for 10^10-event scale:
+
+- Default: ``max_by(struct(payload), struct(order))`` hash aggregation.
+  Unlike the textbook ``row_number() over (partition by key order by ...)``
+  window, this needs NO per-key sort and gets **map-side partial
+  aggregation**: a hot key (one repo = 30% of events) is combined down to
+  one row per input partition *before* the shuffle, so skew never
+  concentrates on a single reducer. This is the single biggest scale win
+  in the engine.
+- ``salt=k``: explicit two-stage salted variant
+  (key+salt -> partial winner, then key -> winner) for engines/settings
+  where partial aggregation is disabled or the payload is too wide to
+  combine map-side; mandated by the north rule as the explicit skew tool.
+- ``lww_winners_window``: the window formulation, kept for parity tests.
+
+All three are algebraically identical; tests assert equal output.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from etl_spark.schema import KEY_COLUMNS, ORDER_COLUMNS
+
+
+def _order_struct(order: list[str]):
+    return F.struct(*[F.col(c) for c in order])
+
+
+def lww_winners(
+    df: DataFrame,
+    key_columns: list[str] | None = None,
+    order_columns: list[str] | None = None,
+    tiebreak: str | None = None,
+    salt: int | None = None,
+) -> DataFrame:
+    """Keep exactly one row per key: max by (commit, offset) [, tiebreak].
+
+    Required before MERGE (Iceberg's one-match-per-target-row rule, which
+    our manifest merge shares).
+    """
+    keys = list(key_columns or KEY_COLUMNS)
+    order = list(order_columns or ORDER_COLUMNS)
+    if tiebreak:
+        order.append(tiebreak)
+    payload = [c for c in df.columns if c not in keys]
+    row = F.struct(*[F.col(c) for c in payload])
+
+    if salt:
+        salted = df.withColumn("__salt", F.pmod(F.xxhash64(*order), F.lit(salt)))
+        partial = salted.groupBy(*keys, "__salt").agg(
+            F.max_by(row, _order_struct(order)).alias("__w")
+        )
+        partial = partial.select(*keys, "__w.*")
+        final = partial.groupBy(*keys).agg(
+            F.max_by(F.struct(*[F.col(c) for c in payload]), _order_struct(order)).alias("__w")
+        )
+        return final.select(*keys, "__w.*")
+
+    agg = df.groupBy(*keys).agg(F.max_by(row, _order_struct(order)).alias("__w"))
+    return agg.select(*keys, "__w.*")
+
+
+def lww_winners_window(
+    df: DataFrame,
+    key_columns: list[str] | None = None,
+    order_columns: list[str] | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Window formulation (row_number over desc order) — semantically
+    identical to ``lww_winners``; kept for cross-checking and for callers
+    that want rank > 1 (version history)."""
+    keys = key_columns or KEY_COLUMNS
+    order = list(order_columns or ORDER_COLUMNS)
+    if tiebreak:
+        order.append(tiebreak)
+    w = Window.partitionBy(*keys).orderBy(*[F.col(c).desc_nulls_last() for c in order])
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+        .select(*df.columns)
+    )

@@ -1,0 +1,64 @@
+"""SparkSession builder tuned for the CDC ingest engine.
+
+Design notes (100 TB target):
+- AQE on, with skew-join splitting: hot repos produce skewed merge joins;
+  AQE splits oversized partitions at runtime, on top of our explicit
+  salting (see ``etl_spark.cdc.replay``).
+- ``spark.sql.shuffle.partitions`` defaults sized for local test runs;
+  production submit overrides via ``--conf`` (rule of thumb: 2-3x total
+  executor cores, and partitions <= ~200 MB post-shuffle).
+- Arrow enabled for pandas_udf paths (content normalization).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("ETL_SPARK_SHUFFLE_PARTITIONS", "32"))
+
+
+def build_session(
+    app_name: str = "etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or reuse) a SparkSession with engine defaults.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS|*]`` when not running
+    under spark-submit (which supplies its own master).
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
+        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        .config(
+            "spark.sql.shuffle.partitions",
+            str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
+        )
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.parquet.compression.codec", "snappy")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("ETL_SPARK_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    if master is not None:
+        builder = builder.master(master)
+    elif "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+        builder = builder.master(f"local[{cpus}]")
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()
+
+
+def get_session() -> SparkSession:
+    """Return the active session or build a default one."""
+    active = SparkSession.getActiveSession()
+    return active if active is not None else build_session()

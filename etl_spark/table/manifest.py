@@ -1,0 +1,386 @@
+"""Manifest-based bucketed parquet lake table — the Iceberg stand-in.
+
+The sandbox ships no Iceberg runtime jar, so the engine implements the
+subset of lake-table semantics the CDC design needs, on plain parquet,
+with the same *shape* as Iceberg's spec (snapshots + manifests + atomic
+pointer swap + snapshot properties + schema evolution by column id):
+
+- **Snapshots**: immutable JSON manifests listing, per key-bucket, the
+  parquet directories that make up the bucket, each tagged with the
+  schema version it was written under. Commit = write new snapshot file
+  + atomic rename of the ``_current`` pointer (on a real deployment this
+  pointer swap lives in a catalog / Iceberg metastore).
+- **Copy-on-write per bucket**: a MERGE rewrites only the buckets touched
+  by the source batch; untouched buckets are carried over by reference.
+  At 10^10 events / 100 TB this is what keeps merge cost proportional to
+  the delta, not the table.
+- **Bucketing**: ``pmod(xxhash64(repo, path), num_buckets)`` — the same
+  deterministic layout on every write, so target-side rows for a key are
+  always co-located and merge joins never read unaffected data.
+- **Schema evolution by column id**: add / rename / type-widen bump the
+  schema version; data files are never rewritten. Readers map each file
+  group from its write-time schema to the current one (rename = id
+  remap, widen = cast, add = null/default fill).
+- **Snapshot properties** carry the exactly-once bookkeeping
+  (``applied_batches``, ``fence_offset``) — the analog of Iceberg
+  snapshot summary properties used for idempotent replay
+  (reference analog: skip-if-already-applied checks,
+  ``src/byggesager/byggesager.py:191-197``).
+
+Reference analogs: keyed mutable store / check-then-insert upsert
+(``src/capa/capa_data.py:9-24,54-72``), partition-overwrite upsert
+(``src/byggesager/byggesager.py:177-188``), full replace
+(``src/sensum/sensum.py:104``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import uuid
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_BUCKET_COL = "__bucket"
+
+
+@dataclass
+class ColumnDef:
+    id: int
+    name: str
+    type: str  # Spark DDL type string: string, int, long, double, ...
+    default: object | None = None
+
+    def to_json(self) -> dict:
+        return {"id": self.id, "name": self.name, "type": self.type, "default": self.default}
+
+    @staticmethod
+    def from_json(d: dict) -> "ColumnDef":
+        return ColumnDef(d["id"], d["name"], d["type"], d.get("default"))
+
+
+@dataclass
+class TableSchema:
+    columns: list[ColumnDef]
+
+    def names(self) -> list[str]:
+        return [c.name for c in self.columns]
+
+    def by_id(self) -> dict[int, ColumnDef]:
+        return {c.id: c for c in self.columns}
+
+    def ddl(self) -> str:
+        return ", ".join(f"{c.name} {c.type}" for c in self.columns)
+
+    def to_json(self) -> list[dict]:
+        return [c.to_json() for c in self.columns]
+
+    @staticmethod
+    def from_json(cols: list[dict]) -> "TableSchema":
+        return TableSchema([ColumnDef.from_json(c) for c in cols])
+
+
+# type-widening lattice (Iceberg-compatible subset)
+_WIDEN_OK = {("int", "long"), ("int", "double"), ("long", "double"), ("float", "double")}
+
+
+@dataclass
+class Snapshot:
+    version: int
+    current_schema_version: int
+    schemas: dict[int, TableSchema]
+    num_buckets: int
+    # bucket -> list of {"path": dir, "sv": schema_version}
+    files: dict[int, list[dict]]
+    properties: dict = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        return json.dumps(
+            {
+                "version": self.version,
+                "current_schema_version": self.current_schema_version,
+                "schemas": {str(v): s.to_json() for v, s in self.schemas.items()},
+                "num_buckets": self.num_buckets,
+                "files": {str(b): fs for b, fs in self.files.items()},
+                "properties": self.properties,
+            },
+            indent=1,
+        )
+
+    @staticmethod
+    def from_json(text: str) -> "Snapshot":
+        d = json.loads(text)
+        return Snapshot(
+            version=d["version"],
+            current_schema_version=d["current_schema_version"],
+            schemas={int(v): TableSchema.from_json(s) for v, s in d["schemas"].items()},
+            num_buckets=d["num_buckets"],
+            files={int(b): fs for b, fs in d["files"].items()},
+            properties=d.get("properties", {}),
+        )
+
+    @property
+    def schema(self) -> TableSchema:
+        return self.schemas[self.current_schema_version]
+
+
+def bucket_expr(key_columns: list[str], num_buckets: int):
+    return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
+
+
+class ManifestTable:
+    """A keyed, bucketed, snapshot-versioned parquet table."""
+
+    def __init__(self, spark: SparkSession, root: str, key_columns: list[str]):
+        self.spark = spark
+        self.root = root
+        self.key_columns = list(key_columns)
+        self._snap_dir = os.path.join(root, "_snapshots")
+        self._data_dir = os.path.join(root, "data")
+
+    # ---------- lifecycle ----------
+
+    @staticmethod
+    def create(
+        spark: SparkSession,
+        root: str,
+        schema: TableSchema,
+        key_columns: list[str],
+        num_buckets: int = 16,
+        properties: dict | None = None,
+    ) -> "ManifestTable":
+        t = ManifestTable(spark, root, key_columns)
+        os.makedirs(t._snap_dir, exist_ok=True)
+        os.makedirs(t._data_dir, exist_ok=True)
+        snap = Snapshot(
+            version=0,
+            current_schema_version=1,
+            schemas={1: schema},
+            num_buckets=num_buckets,
+            files={},
+            properties=dict(properties or {}),
+        )
+        t._commit(snap)
+        return t
+
+    @staticmethod
+    def exists(root: str) -> bool:
+        return os.path.exists(os.path.join(root, "_snapshots", "_current"))
+
+    def current_snapshot(self) -> Snapshot:
+        with open(os.path.join(self._snap_dir, "_current")) as f:
+            name = f.read().strip()
+        with open(os.path.join(self._snap_dir, name)) as f:
+            return Snapshot.from_json(f.read())
+
+    def _commit(self, snap: Snapshot) -> None:
+        """Atomic commit: write immutable snapshot, swap the pointer."""
+        name = f"snapshot-{snap.version:08d}.json"
+        path = os.path.join(self._snap_dir, name)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(snap.to_json())
+        os.replace(tmp, path)
+        ptr_tmp = os.path.join(self._snap_dir, f"_current.tmp-{uuid.uuid4().hex}")
+        with open(ptr_tmp, "w") as f:
+            f.write(name)
+        os.replace(ptr_tmp, os.path.join(self._snap_dir, "_current"))
+
+    # ---------- read ----------
+
+    def _map_to_schema(self, df: DataFrame, from_schema: TableSchema, to_schema: TableSchema) -> DataFrame:
+        """Project a file-group DataFrame from its write-time schema to
+        the target schema: rename by column id, cast widened types, fill
+        added columns with their default (null unless specified)."""
+        from_by_id = from_schema.by_id()
+        cols = []
+        for c in to_schema.columns:
+            src = from_by_id.get(c.id)
+            if src is not None:
+                cols.append(F.col(src.name).cast(c.type).alias(c.name))
+            else:
+                cols.append(F.lit(c.default).cast(c.type).alias(c.name))
+        return df.select(*cols)
+
+    def read(self, buckets: list[int] | None = None, snapshot: Snapshot | None = None) -> DataFrame:
+        """Read current state (optionally only the given buckets),
+        projected to the current schema."""
+        snap = snapshot or self.current_snapshot()
+        target = snap.schema
+        groups: dict[int, list[str]] = {}
+        bucket_set = set(buckets) if buckets is not None else None
+        for b, entries in snap.files.items():
+            if bucket_set is not None and b not in bucket_set:
+                continue
+            for e in entries:
+                groups.setdefault(e["sv"], []).append(e["path"])
+        if not groups:
+            return self.spark.createDataFrame([], target.ddl())
+        parts = []
+        for sv, paths in sorted(groups.items()):
+            df = self.spark.read.schema(snap.schemas[sv].ddl()).parquet(*paths)
+            parts.append(self._map_to_schema(df, snap.schemas[sv], target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    # ---------- write ----------
+
+    def _write_bucketed(self, df: DataFrame, snap: Snapshot, tag: str) -> dict[int, str]:
+        """Write df (current-schema columns) partitioned by key bucket.
+
+        Returns {bucket: dir} for buckets that received rows. The bucket
+        function is the table's fixed layout, so every write co-locates
+        keys identically — merges only ever read the buckets they touch.
+        """
+        write_dir = os.path.join(self._data_dir, f"w-{snap.version + 1:08d}-{tag}-{uuid.uuid4().hex[:8]}")
+        out = df.withColumn(_BUCKET_COL, bucket_expr(self.key_columns, snap.num_buckets))
+        # repartition by bucket so each output dir is written by the tasks
+        # owning that bucket (avoids tiny-file explosion at scale)
+        out = out.repartition(F.col(_BUCKET_COL))
+        out.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(write_dir)
+        result: dict[int, str] = {}
+        if os.path.isdir(write_dir):
+            for entry in os.listdir(write_dir):
+                if entry.startswith(f"{_BUCKET_COL}="):
+                    b = int(entry.split("=", 1)[1])
+                    result[b] = os.path.join(write_dir, entry)
+        return result
+
+    def overwrite(self, df: DataFrame, properties_update: dict | None = None) -> Snapshot:
+        """Full-table replace (reference K2: ``to_sql(if_exists='replace')``)."""
+        snap = self.current_snapshot()
+        sv = snap.current_schema_version
+        written = self._write_bucketed(df.select(*snap.schema.names()), snap, "ow")
+        new = Snapshot(
+            version=snap.version + 1,
+            current_schema_version=sv,
+            schemas=snap.schemas,
+            num_buckets=snap.num_buckets,
+            files={b: [{"path": p, "sv": sv}] for b, p in written.items()},
+            properties={**snap.properties, **(properties_update or {})},
+        )
+        self._commit(new)
+        return new
+
+    def rewrite_buckets(
+        self,
+        buckets: list[int],
+        df: DataFrame,
+        properties_update: dict | None = None,
+    ) -> Snapshot:
+        """Copy-on-write commit: replace the given buckets with ``df``
+        (which must contain only rows belonging to those buckets, in the
+        current schema). Untouched buckets are carried over by reference.
+        Data write + property update (fence/lineage) land in ONE atomic
+        snapshot commit — the exactly-once guarantee hangs off this."""
+        snap = self.current_snapshot()
+        sv = snap.current_schema_version
+        written = self._write_bucketed(df.select(*snap.schema.names()), snap, "mg")
+        files = {b: list(es) for b, es in snap.files.items()}
+        for b in buckets:
+            files[b] = []  # rewritten (possibly to empty if all rows deleted)
+        for b, p in written.items():
+            files[b] = [{"path": p, "sv": sv}]
+        files = {b: es for b, es in files.items() if es}
+
+        new = Snapshot(
+            version=snap.version + 1,
+            current_schema_version=sv,
+            schemas=snap.schemas,
+            num_buckets=snap.num_buckets,
+            files=files,
+            properties={**snap.properties, **(properties_update or {})},
+        )
+        self._commit(new)
+        return new
+
+    def merge(
+        self,
+        upserts: DataFrame,
+        delete_keys: DataFrame | None = None,
+        properties_update: dict | None = None,
+    ) -> Snapshot:
+        """Key-partitioned MERGE: copy-on-write of affected buckets only.
+
+        ``upserts``: exactly one row per key (caller runs LWW dedup first
+        — mirrors Iceberg MERGE's one-match-per-target-row rule), columns
+        = current schema. ``delete_keys``: key columns only.
+
+        Semantics == ``MERGE INTO t USING s ON t.key = s.key
+        WHEN MATCHED AND s.op='D' THEN DELETE
+        WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *``.
+        """
+        snap = self.current_snapshot()
+        schema_names = snap.schema.names()
+
+        upserts = upserts.select(*schema_names)
+        all_keys = upserts.select(*self.key_columns)
+        if delete_keys is not None:
+            all_keys = all_keys.unionByName(delete_keys.select(*self.key_columns))
+
+        # which buckets does this batch touch? (small: <= num_buckets ints)
+        touched = [
+            r[0]
+            for r in all_keys.select(bucket_expr(self.key_columns, snap.num_buckets).alias("b"))
+            .distinct()
+            .collect()
+        ]
+        existing = self.read(buckets=touched, snapshot=snap)
+        # keep target rows whose key is not in the batch, add the upserts
+        survivors = existing.join(all_keys.dropDuplicates(self.key_columns), on=self.key_columns, how="left_anti")
+        merged = survivors.unionByName(upserts)
+        return self.rewrite_buckets(touched, merged, properties_update)
+
+    # ---------- schema evolution (metadata-only, files untouched) ----------
+
+    def _evolve(self, mutate) -> Snapshot:
+        snap = self.current_snapshot()
+        cur = snap.schema
+        new_cols = mutate([ColumnDef(c.id, c.name, c.type, c.default) for c in cur.columns])
+        new_sv = snap.current_schema_version + 1
+        new = Snapshot(
+            version=snap.version + 1,
+            current_schema_version=new_sv,
+            schemas={**snap.schemas, new_sv: TableSchema(new_cols)},
+            num_buckets=snap.num_buckets,
+            files=snap.files,
+            properties=snap.properties,
+        )
+        self._commit(new)
+        return new
+
+    def add_column(self, name: str, type_: str, default: object | None = None) -> Snapshot:
+        def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
+            if any(c.name == name for c in cols):
+                raise ValueError(f"column {name!r} already exists")
+            next_id = max(c.id for c in cols) + 1
+            return cols + [ColumnDef(next_id, name, type_, default)]
+
+        return self._evolve(mutate)
+
+    def rename_column(self, old: str, new: str) -> Snapshot:
+        def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
+            if not any(c.name == old for c in cols):
+                raise ValueError(f"no column {old!r}")
+            for c in cols:
+                if c.name == old:
+                    c.name = new
+            return cols
+
+        return self._evolve(mutate)
+
+    def widen_type(self, name: str, new_type: str) -> Snapshot:
+        def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
+            for c in cols:
+                if c.name == name:
+                    if c.type != new_type and (c.type, new_type) not in _WIDEN_OK:
+                        raise ValueError(f"cannot widen {c.type} -> {new_type}")
+                    c.type = new_type
+                    return cols
+            raise ValueError(f"no column {name!r}")
+
+        return self._evolve(mutate)
