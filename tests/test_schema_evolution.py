@@ -1,0 +1,98 @@
+"""Schema evolution through replay (FIXTURES.md invariant 4)."""
+
+import json
+
+import pytest
+
+from etl_spark.cdc.changelog import generate_changelog
+from etl_spark.cdc.replay import ReplayEngine
+from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    df = generate_changelog(spark, 1200, seed=42, n_repos=4, paths_per_repo=10, num_batches=3)
+    df.cache()
+    df.count()
+    return df
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_EVOLUTION_SCHEMA)
+
+
+def test_add_rename_widen_through_replay(spark, tmp_path, changelog):
+    # batch 0: plain. batch 1: add size_bytes int. batch 2: rename lang ->
+    # language and widen size_bytes to long.
+    ops = _ops(
+        spark,
+        [
+            (450, "add_column", "size_bytes", json.dumps({"type": "int"})),
+            (810, "rename_column", "lang", json.dumps({"new_name": "language"})),
+            (815, "widen_type", "size_bytes", json.dumps({"new_type": "long"})),
+        ],
+    )
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    results = eng.replay(changelog, schema_ops=ops)
+    assert [r["schema_ops"] for r in results] == [0, 1, 2]
+
+    state = eng.read_state()
+    assert "language" in state.columns and "lang" not in state.columns
+    assert "size_bytes" in state.columns
+    assert dict(state.dtypes)["size_bytes"] == "bigint"
+    # pre-evolution rows readable with default (null)
+    assert state.filter("size_bytes is null").count() == state.count()
+    # wire events carried `lang`; rename maps it into `language` for every row
+    assert state.filter("language is null").count() == 0
+
+    # evolution ops are fenced: re-applying a batch doesn't re-run DDL
+    r = eng.apply_batch(changelog, 2, schema_ops=ops)
+    assert r["skipped"]
+    assert eng.table.current_snapshot().current_schema_version == 4  # 1 + 3 ops
+
+
+def test_evolution_state_matches_plain_replay(spark, tmp_path, changelog):
+    """Metadata-only evolution must not disturb row content."""
+    from tests.oracle import apply_log_oracle
+
+    ops = _ops(spark, [(450, "add_column", "size_bytes", json.dumps({"type": "int"}))])
+    eng = ReplayEngine(spark, str(tmp_path / "t2"), num_buckets=4)
+    eng.replay(changelog, schema_ops=ops)
+    got = (
+        eng.read_state()
+        .select("repo", "path", "commit", "lang", "content", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = apply_log_oracle(changelog.toPandas())
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_widen_rejects_narrowing(spark, tmp_path):
+    t = ManifestTable.create(
+        spark,
+        str(tmp_path / "t3"),
+        TableSchema([ColumnDef(1, "k", "string"), ColumnDef(2, "v", "long")]),
+        key_columns=["k"],
+        num_buckets=2,
+    )
+    with pytest.raises(ValueError):
+        t.widen_type("v", "int")
+
+
+def test_old_files_not_rewritten(spark, tmp_path, changelog):
+    """Evolution is metadata-only: data files of prior snapshots survive."""
+    eng = ReplayEngine(spark, str(tmp_path / "t4"), num_buckets=4)
+    eng.replay(changelog, batches=[0])
+    files_before = {
+        e["path"] for es in eng.table.current_snapshot().files.values() for e in es
+    }
+    eng.table.add_column("extra", "string")
+    files_after = {
+        e["path"] for es in eng.table.current_snapshot().files.values() for e in es
+    }
+    assert files_before == files_after
