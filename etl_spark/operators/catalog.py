@@ -1,0 +1,49 @@
+"""The driver-facing operator catalog.
+
+Each entry: name -> (spark_builder(spark, sf_dir) -> DataFrame,
+oracle_sql or None for non-SQL-expressible ops). Consumed by
+``__spark_entry__.queries()`` / ``oracle_sql()`` and by tests.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from etl_spark.operators import relational as R
+
+Builder = Callable[[SparkSession, str], DataFrame]
+
+CATALOG: dict[str, tuple[Builder, str | None]] = {
+    # --- aggregations / filters ---
+    "pricing_summary": (R.pricing_summary, R.PRICING_SUMMARY_SQL),
+    "filter_compound": (R.filter_compound, R.FILTER_COMPOUND_SQL),
+    "filter_null_notin": (R.filter_null_notin, R.FILTER_NULL_NOTIN_SQL),
+    "distinct_count": (R.distinct_count, R.DISTINCT_COUNT_SQL),
+    "domain_completion": (R.domain_completion, R.DOMAIN_COMPLETION_SQL),
+    "rollup_orders": (R.rollup_orders, R.ROLLUP_ORDERS_SQL),
+    # --- joins ---
+    "join_star_revenue": (R.join_star_revenue, R.JOIN_STAR_REVENUE_SQL),
+    "join_left_with_missing": (R.join_left_with_missing, R.JOIN_LEFT_WITH_MISSING_SQL),
+    "join_semi": (R.join_semi, R.JOIN_SEMI_SQL),
+    "join_anti": (R.join_anti, R.JOIN_ANTI_SQL),
+    "join_asof": (R.join_asof, R.JOIN_ASOF_SQL),
+    # --- windows ---
+    "window_top1_per_key": (R.window_top1_per_key, R.WINDOW_TOP1_SQL),
+    "window_rank_topk": (R.window_rank_topk, R.WINDOW_RANK_TOPK_SQL),
+    "window_running_sum": (R.window_running_sum, R.WINDOW_RUNNING_SUM_SQL),
+    "window_lag_delta": (R.window_lag_delta, R.WINDOW_LAG_DELTA_SQL),
+    # --- set ops ---
+    "union_dedup": (R.union_dedup, R.UNION_DEDUP_SQL),
+    "except_all_keys": (R.except_all_keys, R.EXCEPT_ALL_KEYS_SQL),
+    # --- scalar functions ---
+    "string_functions": (R.string_functions, R.STRING_FUNCTIONS_SQL),
+    "date_functions": (R.date_functions, R.DATE_FUNCTIONS_SQL),
+    "conditional_recode": (R.conditional_recode, R.CONDITIONAL_RECODE_SQL),
+    "custom_collation_sort": (R.custom_collation_sort, R.CUSTOM_COLLATION_SQL),
+    "json_extraction": (R.json_extraction, R.JSON_EXTRACTION_SQL),
+    # --- CDC-shaped ---
+    "cdc_lww_state": (R.cdc_lww_state, R.CDC_LWW_STATE_SQL),
+    "incremental_upsert_fold": (R.incremental_upsert_fold, R.INCREMENTAL_UPSERT_FOLD_SQL),
+}
