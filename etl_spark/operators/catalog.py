@@ -11,7 +11,10 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from etl_spark.operators import dedup as D
 from etl_spark.operators import relational as R
+from etl_spark.operators import similarity as S
+from etl_spark.operators import textstats as X
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -46,4 +49,17 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     # --- CDC-shaped ---
     "cdc_lww_state": (R.cdc_lww_state, R.CDC_LWW_STATE_SQL),
     "incremental_upsert_fold": (R.incremental_upsert_fold, R.INCREMENTAL_UPSERT_FOLD_SQL),
+    # --- text analysis (training-data pipeline) ---
+    "lang_id": (X.lang_id, X.LANG_ID_SQL),
+    "token_count": (X.token_count, X.TOKEN_COUNT_SQL),
+    "quality_score": (X.quality_score, X.QUALITY_SCORE_SQL),
+    "doc_fingerprint": (X.doc_fingerprint, X.DOC_FINGERPRINT_SQL),
+    # --- deduplication ---
+    "dedup_exact": (D.dedup_exact, D.DEDUP_EXACT_SQL),
+    "ngram_jaccard_pairs": (D.ngram_jaccard_pairs, D.NGRAM_JACCARD_SQL),
+    "minhash_lsh_pairs": (D.minhash_lsh_pairs, D.MINHASH_LSH_SQL),
+    "simhash_fingerprints": (D.simhash_fingerprints, D.SIMHASH_SQL),
+    # --- similarity search ---
+    "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),
+    "lsh_ann_buckets": (S.lsh_ann_buckets, S.LSH_ANN_SQL),
 }

@@ -1,0 +1,116 @@
+"""Similarity search over the embeddings table (array<float> column).
+
+- brute-force cosine top-k: the exactness baseline. Dot products and
+  norms are sequential left-folds over the array cast to double, so
+  Spark and DuckDB produce bit-identical doubles (no reduction-order
+  ambiguity) and the value hash matches exactly.
+- LSH-bucketed ANN: the scale path — random-hyperplane signs derived
+  deterministically from md5 (portable across engines), candidates only
+  join within identical sign-signature buckets.
+
+Scale design: brute force is O(Q x N) — fine when Q (queries) is small
+and broadcastable; the LSH variant cuts the join to bucket-local pairs,
+which is the 100 TB shape (bucket key is shuffle-partitionable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from etl_spark.operators.relational import t
+
+TOP_K = 5
+N_QUERIES = 10  # vec_id < N_QUERIES act as the query set
+N_PLANES = 8
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, v: acc + v)
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact brute-force cosine top-k: for each query vector (vec_id <
+    N_QUERIES), the TOP_K nearest other vectors. The query side is tiny
+    -> broadcast; the scan side streams (no shuffle until the final
+    per-query top-k, which is a max-heap-sized aggregation)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    q = e.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
+    )
+    joined = e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+    scored = joined.select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.round(_dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb"))), 6).alias("cosine"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
+    return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
+
+
+COSINE_TOPK_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(list_dot_product(q.qemb, e.emb) /
+               (sqrt(list_dot_product(q.qemb, q.qemb)) * sqrt(list_dot_product(e.emb, e.emb))), 6) AS cosine
+  FROM e JOIN q ON e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, cosine, rk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk
+  FROM scored
+) WHERE rk <= {TOP_K}
+"""
+
+
+def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH signatures: bit i = sign of <v, h_i> where
+    h_i's components are +/-1 derived from md5(plane||dim) — portable,
+    seedless determinism. Returns (vec_id, signature, bucket_size);
+    same-signature vectors are ANN candidates (the 100 TB join key)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+
+    # hyperplane sign per (plane, dim) from md5 — built as SQL exprs so the
+    # DuckDB twin is textually parallel
+    sig_bits = []
+    for p in range(N_PLANES):
+        expr = f"""
+        CASE WHEN aggregate(
+            zip_with(emb, sequence(0, size(emb) - 1),
+                     (x, d) -> x * (CASE WHEN CAST(conv(substring(md5(concat('p|{p}|', CAST(d AS STRING))), 1, 1), 16, 10) AS INT) >= 8
+                                    THEN 1.0D ELSE -1.0D END)),
+            0.0D, (acc, v) -> acc + v) >= 0.0D THEN '1' ELSE '0' END
+        """
+        sig_bits.append(F.expr(expr))
+    sig = F.concat(*sig_bits).alias("signature")
+    sigs = e.select("vec_id", sig)
+    return sigs.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+LSH_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sigs AS (
+  SELECT vec_id,
+    {" || ".join(
+        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(emb)), "
+        f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
+        f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
+        for p in range(N_PLANES)
+    )} AS signature
+  FROM e
+)
+SELECT signature, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+FROM sigs GROUP BY signature
+"""

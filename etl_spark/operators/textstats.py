@@ -1,0 +1,166 @@
+"""Text-analysis operators over the documents table — the training-data
+pipeline suite (language ID, quality scoring, token counting, document
+fingerprinting). All JVM-side expressions (no Python in the hot path);
+each has an exact DuckDB oracle twin.
+
+Design for 100 TB: every operator here is a narrow projection + scalar
+expressions — embarrassingly parallel, no shuffle, full whole-stage
+codegen, predicate/column pruning reaches the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from etl_spark.operators.relational import t
+
+# marker-token sets for the n-gram/stopword language heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "in"],
+    "es": ["el", "la", "de", "que", "y", "los"],
+    "da": ["og", "det", "er", "en", "til", "af"],
+}
+
+_TOKEN_SPLIT = r"[^a-z0-9æøåáéíóúñü]+"
+
+
+def _tokens(col):
+    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
+
+
+def _marker_count(tokens, markers: list[str]):
+    # count tokens that are in the marker set (multiplicity preserved)
+    def pred(x):
+        e = F.lit(False)
+        for m in markers:
+            e = e | (x == m)
+        return e
+
+    return F.size(F.filter(tokens, pred))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID with deterministic tie-break
+    (en >= es >= da). Vectorized JVM expressions only."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    s = {lg: _marker_count(toks, ms) for lg, ms in _LANG_MARKERS.items()}
+    pick = (
+        F.when((s["en"] >= s["es"]) & (s["en"] >= s["da"]), "en")
+        .when(s["es"] >= s["da"], "es")
+        .otherwise("da")
+    )
+    return d.select(
+        "doc_id",
+        s["en"].alias("score_en"),
+        s["es"].alias("score_es"),
+        s["da"].alias("score_da"),
+        pick.alias("lang_pred"),
+    )
+
+
+LANG_ID_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS tokens
+  FROM documents
+)
+SELECT doc_id,
+  len(list_filter(tokens, x -> x IN ('the','and','of','to','is','in')))  AS score_en,
+  len(list_filter(tokens, x -> x IN ('el','la','de','que','y','los')))   AS score_es,
+  len(list_filter(tokens, x -> x IN ('og','det','er','en','til','af')))  AS score_da,
+  CASE WHEN len(list_filter(tokens, x -> x IN ('the','and','of','to','is','in'))) >= len(list_filter(tokens, x -> x IN ('el','la','de','que','y','los')))
+        AND len(list_filter(tokens, x -> x IN ('the','and','of','to','is','in'))) >= len(list_filter(tokens, x -> x IN ('og','det','er','en','til','af')))
+       THEN 'en'
+       WHEN len(list_filter(tokens, x -> x IN ('el','la','de','que','y','los'))) >= len(list_filter(tokens, x -> x IN ('og','det','er','en','til','af')))
+       THEN 'es' ELSE 'da' END AS lang_pred
+FROM toks
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace tokens + a BPE-ish subword proxy (alnum runs and
+    punctuation count separately) — the two standard budget counters."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    # BPE-ish proxy: alphanumeric runs + standalone symbol characters
+    runs = F.size(F.filter(F.split(F.col("text"), r"[^A-Za-z0-9]+"), lambda x: x != ""))
+    syms = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    return d.select(
+        "doc_id", ws.alias("ws_tokens"), (runs + syms).cast("long").alias("subword_tokens")
+    )
+
+
+TOKEN_COUNT_SQL = r"""
+SELECT doc_id,
+       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+       CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
+            + LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS subword_tokens
+FROM documents
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic quality features: length, mean word length, punctuation
+    ratio, stopword ratio, composite score. Ratios rounded to 6 dp so the
+    value hash is engine-independent."""
+    d = t(spark, sf_dir, "documents")
+    toks = _tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chars = F.length("text")
+    n_punct = n_chars - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
+    n_stop = _marker_count(toks, _LANG_MARKERS["en"])
+    mean_wl = F.round(
+        F.when(n_tok > 0, F.aggregate(toks, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)).cast("double") / n_tok).otherwise(F.lit(0.0)),
+        6,
+    )
+    punct_ratio = F.round(n_punct.cast("double") / F.greatest(n_chars, F.lit(1)), 6)
+    stop_ratio = F.round(n_stop.cast("double") / F.greatest(n_tok, F.lit(1)), 6)
+    return d.select(
+        "doc_id",
+        n_chars.alias("n_chars_obs"),
+        n_tok.alias("n_tokens"),
+        mean_wl.alias("mean_word_len"),
+        punct_ratio.alias("punct_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        ((n_tok >= 10) & (stop_ratio > 0)).cast("int").alias("passes_quality"),
+    )
+
+
+QUALITY_SCORE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, text,
+         list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS tokens,
+         LENGTH(text) AS n_chars_obs
+  FROM documents
+)
+SELECT doc_id, n_chars_obs,
+  len(tokens) AS n_tokens,
+  ROUND(CASE WHEN len(tokens) > 0
+        THEN CAST(list_aggregate(list_transform(tokens, x -> LENGTH(x)), 'sum') AS DOUBLE) / len(tokens)
+        ELSE 0.0 END, 6) AS mean_word_len,
+  ROUND(CAST(LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[.,;:!?]', '', 'g')) AS DOUBLE)
+        / GREATEST(LENGTH(text), 1), 6) AS punct_ratio,
+  ROUND(CAST(len(list_filter(tokens, x -> x IN ('the','and','of','to','is','in'))) AS DOUBLE)
+        / GREATEST(len(tokens), 1), 6) AS stopword_ratio,
+  CAST(len(tokens) >= 10 AND
+       ROUND(CAST(len(list_filter(tokens, x -> x IN ('the','and','of','to','is','in'))) AS DOUBLE)
+             / GREATEST(len(tokens), 1), 6) > 0 AS INT) AS passes_quality
+FROM base
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical content fingerprint: sha256 of whitespace-collapsed
+    lowercased text (the relational analog of the CDC engine's
+    normalize+sha256 invariant, reference ``src/utils/utils.py:7-10``)."""
+    d = t(spark, sf_dir, "documents")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
+
+
+DOC_FINGERPRINT_SQL = r"""
+SELECT doc_id, sha256(REGEXP_REPLACE(TRIM(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+FROM documents
+"""
