@@ -1,0 +1,140 @@
+#!/usr/bin/env python
+"""Benchmark harness — the driver's per-round feedback loop.
+
+Prints ONE JSON line:
+    {"metric": ..., "value": <total wall sec>, "unit": "sec",
+     "queries": {"<name>": sec, ...}, "sf": <scale factor>,
+     "cdc": {...replay throughput details...}}
+
+Two sections:
+1. **CDC replay throughput** (the BASELINE headline): generate a
+   deterministic synthetic changelog (hot-repo skew, out-of-order
+   commits), materialize it to parquet, then replay it through the
+   full engine path (LWW -> normalize+sha256 -> bucket merge ->
+   fenced commit) and report events/sec. Event count scales with the
+   benchmark scale factor and can be pinned with ETL_SPARK_BENCH_EVENTS.
+2. **Operator catalog** at $SPARK_GRAFT_SF_DIR (default
+   /root/testdata/sf0.1): every `queries()` entry, executed to a noop
+   sink so projections/aggregations can't be optimized away.
+
+Env knobs:
+    SPARK_GRAFT_SF_DIR      input tables (default /root/testdata/sf0.1)
+    SPARK_GRAFT_CPUS        local[<n>] cores (default 32)
+    ETL_SPARK_BENCH_EVENTS  changelog size (default 1_000_000)
+    ETL_SPARK_BENCH_BATCHES replay micro-batches (default 4)
+    ETL_SPARK_BENCH_SKIP    comma-separated query names to skip
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from etl_spark.session import build_session  # noqa: E402
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    base = os.path.basename(sf_dir.rstrip("/"))
+    if base.startswith("sf"):
+        try:
+            return float(base[2:])
+        except ValueError:
+            pass
+    return -1.0
+
+
+def _force(df) -> int:
+    """Execute the full plan (noop sink: nothing optimized away, no
+    driver-side collect)."""
+    df.write.mode("overwrite").format("noop").save()
+    return 0
+
+
+def bench_cdc_replay(spark, n_events: int, num_batches: int, workdir: str) -> dict:
+    from etl_spark.cdc.changelog import generate_changelog
+    from etl_spark.cdc.replay import ReplayEngine
+
+    log_path = os.path.join(workdir, "changelog")
+    parallelism = spark.sparkContext.defaultParallelism
+    generate_changelog(
+        spark,
+        n_events,
+        seed=42,
+        n_repos=200,
+        paths_per_repo=500,
+        hot_share=0.3,
+        num_batches=num_batches,
+        parallelism=parallelism,
+    ).write.mode("overwrite").parquet(log_path)
+    changelog = spark.read.parquet(log_path)
+
+    table_root = os.path.join(workdir, "repo_files")
+    t0 = time.monotonic()
+    engine = ReplayEngine(spark, table_root, num_buckets=max(16, parallelism))
+    results = engine.replay(changelog)
+    wall = time.monotonic() - t0
+    final_rows = engine.read_state().count()
+    return {
+        "events": n_events,
+        "batches": num_batches,
+        "wall_sec": round(wall, 3),
+        "events_per_sec": round(n_events / wall, 1),
+        "final_rows": final_rows,
+        "per_batch_ms": [r.get("duration_ms") for r in results],
+    }
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    n_events = int(os.environ.get("ETL_SPARK_BENCH_EVENTS", "1000000"))
+    num_batches = int(os.environ.get("ETL_SPARK_BENCH_BATCHES", "4"))
+    skip = {s for s in os.environ.get("ETL_SPARK_BENCH_SKIP", "").split(",") if s}
+
+    spark = build_session("etl-spark-bench", master=f"local[{cpus}]")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries: dict[str, float] = {}
+    total0 = time.monotonic()
+
+    workdir = tempfile.mkdtemp(prefix="etl_spark_bench_")
+    try:
+        t0 = time.monotonic()
+        cdc = bench_cdc_replay(spark, n_events, num_batches, workdir)
+        queries["cdc_replay"] = round(time.monotonic() - t0, 3)
+    finally:
+        shutil.rmtree(workdir, ignore_errors=True)
+
+    from etl_spark.operators.catalog import CATALOG
+
+    for name, (builder, _) in CATALOG.items():
+        if name in skip:
+            continue
+        t0 = time.monotonic()
+        _force(builder(spark, sf_dir))
+        queries[name] = round(time.monotonic() - t0, 3)
+
+    total = round(time.monotonic() - total0, 3)
+    print(
+        json.dumps(
+            {
+                "metric": "cdc_replay_plus_operator_catalog_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": queries,
+                "sf": _sf_from_dir(sf_dir),
+                "cdc": cdc,
+                "cores": int(cpus) if cpus.isdigit() else cpus,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -42,11 +42,14 @@ def lww_winners(
     order_columns: list[str] | None = None,
     tiebreak: str | None = None,
     salt: int | None = None,
+    count_col: str | None = None,
 ) -> DataFrame:
     """Keep exactly one row per key: max by (commit, offset) [, tiebreak].
 
     Required before MERGE (Iceberg's one-match-per-target-row rule, which
-    our manifest merge shares).
+    our manifest merge shares). With ``count_col``, also emit the number
+    of input events folded into each winner (so callers get per-batch
+    totals from the same aggregation job instead of a second scan).
     """
     keys = list(key_columns or KEY_COLUMNS)
     order = list(order_columns or ORDER_COLUMNS)
@@ -57,17 +60,23 @@ def lww_winners(
 
     if salt:
         salted = df.withColumn("__salt", F.pmod(F.xxhash64(*order), F.lit(salt)))
-        partial = salted.groupBy(*keys, "__salt").agg(
-            F.max_by(row, _order_struct(order)).alias("__w")
-        )
-        partial = partial.select(*keys, "__w.*")
-        final = partial.groupBy(*keys).agg(
-            F.max_by(F.struct(*[F.col(c) for c in payload]), _order_struct(order)).alias("__w")
-        )
-        return final.select(*keys, "__w.*")
+        partial_aggs = [F.max_by(row, _order_struct(order)).alias("__w")]
+        if count_col:
+            partial_aggs.append(F.count(F.lit(1)).alias(count_col))
+        partial = salted.groupBy(*keys, "__salt").agg(*partial_aggs)
+        final_aggs = [F.max_by(F.col("__w"), _order_struct([f"__w.{c}" for c in order])).alias("__w")]
+        if count_col:
+            final_aggs.append(F.sum(count_col).alias(count_col))
+        final = partial.groupBy(*keys).agg(*final_aggs)
+        extra = [count_col] if count_col else []
+        return final.select(*keys, "__w.*", *extra)
 
-    agg = df.groupBy(*keys).agg(F.max_by(row, _order_struct(order)).alias("__w"))
-    return agg.select(*keys, "__w.*")
+    aggs = [F.max_by(row, _order_struct(order)).alias("__w")]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    agg = df.groupBy(*keys).agg(*aggs)
+    extra = [count_col] if count_col else []
+    return agg.select(*keys, "__w.*", *extra)
 
 
 def lww_winners_window(

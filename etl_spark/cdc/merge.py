@@ -47,10 +47,21 @@ def merge_batch(
     """
     snap = table.current_snapshot()
 
-    # one winner per key inside the batch (cheap: batch << table)
-    winners = lww_winners(batch_events).cache()
-    n_events = batch_events.count()
-    n_keys = winners.count()
+    # one winner per key inside the batch (cheap: batch << table);
+    # __n_events rides along so totals come from this same agg job
+    winners = lww_winners(batch_events, count_col="__n_events").cache()
+
+    # ONE small driver-side job for all counters + touched buckets
+    # (winners is tiny: one row per distinct key in the batch)
+    stats = winners.agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.coalesce(F.sum("__n_events"), F.lit(0)).alias("events"),
+        F.coalesce(F.sum((F.col("op") != "D").cast("long")), F.lit(0)).alias("ups"),
+        F.coalesce(F.sum((F.col("op") == "D").cast("long")), F.lit(0)).alias("dels"),
+        F.collect_set(bucket_expr(table.key_columns, snap.num_buckets)).alias("buckets"),
+    ).first()
+    n_keys, n_events = stats["keys"], stats["events"]
+    touched = sorted(stats["buckets"])
 
     # Project events to the current table schema. Rename-aware: a column
     # renamed on the table (e.g. lang -> language) still arrives from the
@@ -78,11 +89,6 @@ def merge_batch(
     # fingerprint only rows that survive as upserts (D rows have null content)
     source = with_content_sha256(source)
 
-    touched = [
-        r[0]
-        for r in source.select(bucket_expr(table.key_columns, snap.num_buckets).alias("b")).distinct().collect()
-    ]
-
     existing = table.read(buckets=touched, snapshot=snap).withColumn("__op", F.lit(None).cast("string"))
 
     unioned = existing.unionByName(source.select(*existing.columns))
@@ -94,7 +100,6 @@ def merge_batch(
 
     new_snap = table.rewrite_buckets(touched, survivors, properties_update)
     counters = {"rows_in": n_events, "distinct_keys": n_keys,
-                "upserts": winners.filter(F.col("op") != "D").count(),
-                "deletes": winners.filter(F.col("op") == "D").count()}
+                "upserts": stats["ups"], "deletes": stats["dels"]}
     winners.unpersist()
     return new_snap, counters

@@ -12,9 +12,14 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 
 from etl_spark.operators import dedup as D
+from etl_spark.operators import grouped as G
+from etl_spark.operators import multimodal as M
 from etl_spark.operators import relational as R
 from etl_spark.operators import similarity as S
 from etl_spark.operators import textstats as X
+from etl_spark.plans import config_plan as P
+from etl_spark.sources import coerce as C
+from etl_spark.streaming import windowed as W
 
 Builder = Callable[[SparkSession, str], DataFrame]
 
@@ -62,4 +67,14 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     # --- similarity search ---
     "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),
     "lsh_ann_buckets": (S.lsh_ann_buckets, S.LSH_ANN_SQL),
+    # --- grouped-map pandas UDF (D5) ---
+    "grouped_linear_trend": (G.grouped_linear_trend, G.GROUPED_LINEAR_TREND_SQL),
+    # --- multimodal binary plumbing ---
+    "binary_payload_stats": (M.binary_payload_stats, M.BINARY_PAYLOAD_STATS_SQL),
+    # --- config-driven plans (§3.3) ---
+    "config_driven_merge": (P.config_driven_merge, P.CONFIG_DRIVEN_MERGE_SQL),
+    # --- schema inference / coercion (C13) ---
+    "schema_coercion": (C.schema_coercion, C.SCHEMA_COERCION_SQL),
+    # --- event-time windowed aggregation (C5, batch twin of the stream) ---
+    "windowed_event_counts": (W.windowed_event_counts_batch, W.WINDOWED_EVENT_COUNTS_SQL),
 }

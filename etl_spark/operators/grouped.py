@@ -1,0 +1,83 @@
+"""Grouped-map pandas UDF operators (SURVEY.md §2.9 D5).
+
+The reference fits a Prophet model per queue inside a driver loop
+(``src/jobs/frontdesk_borgerservice.py:217-264``, loop ``:48-59``). The
+Spark-native shape is ``groupBy(...).applyInPandas(fit, schema)``: the
+model fit runs on executors, one Arrow batch per group, no driver loop
+and no per-row Python.
+
+Determinism contract (so the DuckDB oracle can hash-match): the fit is
+an ordinary least-squares trend computed from *integer-exact* sums
+(days and value-cents are int64, so Sx/Sy/Sxy/Sxx are exact in both
+engines); slope and intercept are then single exact-int divisions in
+float64 — bit-identical across Spark and DuckDB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TREND_SCHEMA = "event_type string, n_days long, slope double, intercept double"
+
+
+def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
+    """OLS of daily total value (cents) on day-of-month, closed form over
+    exact integer sums. Runs once per group on an executor."""
+    x = pdf["day"].astype("int64")
+    y = pdf["cents"].astype("int64")
+    n = int(len(pdf))
+    sx, sy = int(x.sum()), int(y.sum())
+    sxy = int((x * y).sum())
+    sxx = int((x * x).sum())
+    denom = n * sxx - sx * sx
+    if denom == 0:
+        slope = float("nan")
+        intercept = float("nan")
+    else:
+        slope = (n * sxy - sx * sy) / (denom * 100.0)
+        intercept = (sy * sxx - sx * sxy) / (denom * 100.0)
+    return pd.DataFrame(
+        {
+            "event_type": [pdf["event_type"].iloc[0]],
+            "n_days": [n],
+            "slope": [round(slope, 6)],
+            "intercept": [round(intercept, 6)],
+        }
+    )
+
+
+def grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per event_type: linear trend of daily total value over day-of-month,
+    fitted group-wise with applyInPandas (reference D5 re-expressed)."""
+    e = spark.read.parquet(f"{sf_dir}/events.parquet")
+    daily = (
+        e.groupBy(
+            "event_type",
+            F.dayofmonth("ts").cast("long").alias("day"),
+        )
+        .agg(F.sum(F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("cents"))
+    )
+    return daily.groupBy("event_type").applyInPandas(_fit_trend, TREND_SCHEMA)
+
+
+GROUPED_LINEAR_TREND_SQL = """
+WITH daily AS (
+  SELECT event_type,
+         CAST(DAYOFMONTH(ts) AS BIGINT) AS day,
+         SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS cents
+  FROM events GROUP BY 1, 2
+),
+sums AS (
+  SELECT event_type,
+         COUNT(*) AS n,
+         SUM(day) AS sx, SUM(cents) AS sy,
+         SUM(day * cents) AS sxy, SUM(day * day) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT event_type, n AS n_days,
+       ROUND((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0), 6) AS slope,
+       ROUND((sy * sxx - sx * sxy) / ((n * sxx - sx * sx) * 100.0), 6) AS intercept
+FROM sums
+"""

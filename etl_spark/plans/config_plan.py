@@ -1,0 +1,112 @@
+"""Config-driven merge plans — the reference's declarative mini-IR.
+
+``src/sensum/sensum.py:119-129`` turns a JSON config
+``{merge_on, group_by, agg_columns, columns, name}`` into a pandas
+join+groupby+rename pipeline at runtime. Re-expressed as a builder that
+emits a DataFrame plan: the config is data, the plan is declarative, and
+Catalyst still sees every stage (so pruning/pushdown/AQE all apply —
+nothing about config-driven-ness costs optimization).
+
+Config shape (one dict):
+    {
+      "base":   "customer",                       # driving table
+      "joins": [{"table": "orders",
+                 "on": [["c_custkey", "o_custkey"]],
+                 "how": "left",
+                 "select": ["o_orderkey", "o_totalprice", "o_custkey"]}],
+      "filters": ["o_totalprice > 0"],            # SQL strings (P7)
+      "group_by": ["c_custkey", "c_mktsegment"],
+      "aggs": [{"fn": "count", "col": "o_orderkey", "as": "n_orders"},
+               {"fn": "sum",  "col": "o_totalprice", "as": "total",
+                "cast": "decimal(18,2)"}],
+      "renames": {"c_mktsegment": "segment"}      # F17 bulk rename
+    }
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+_AGG_FNS = {
+    "count": F.count,
+    "sum": F.sum,
+    "max": F.max,
+    "min": F.min,
+    "avg": F.avg,
+    "first": F.first,
+    "count_distinct": F.countDistinct,
+}
+
+
+def build_merge_plan(spark: SparkSession, sf_dir: str, config: dict) -> DataFrame:
+    """Materialize the config as a DataFrame plan (lazy — caller executes)."""
+    df = spark.read.parquet(f"{sf_dir}/{config['base']}.parquet")
+    for j in config.get("joins", []):
+        right = spark.read.parquet(f"{sf_dir}/{j['table']}.parquet")
+        if sel := j.get("select"):
+            right = right.select(*sel)
+        cond = None
+        for left_key, right_key in j["on"]:
+            piece = df[left_key] == right[right_key]
+            cond = piece if cond is None else (cond & piece)
+        df = df.join(right, cond, j.get("how", "inner"))
+    for predicate in config.get("filters", []):
+        df = df.filter(predicate)
+    if group_by := config.get("group_by"):
+        aggs = []
+        for a in config.get("aggs", []):
+            col = F.col(a["col"])
+            if cast := a.get("cast"):
+                col = col.cast(cast)
+            aggs.append(_AGG_FNS[a["fn"]](col).alias(a["as"]))
+        df = df.groupBy(*group_by).agg(*aggs)
+    if renames := config.get("renames"):
+        df = df.withColumnsRenamed(renames)
+    if columns := config.get("columns"):
+        df = df.select(*columns)
+    return df
+
+
+# The catalog instance: a sensum-shaped 2-join + group-by + rename config
+# (J1/J2 + A1 + F17 in one declarative plan).
+SENSUM_STYLE_CONFIG = {
+    "base": "customer",
+    "joins": [
+        {
+            "table": "orders",
+            "on": [["c_custkey", "o_custkey"]],
+            "how": "left",
+            "select": ["o_orderkey", "o_totalprice", "o_custkey"],
+        },
+        {
+            "table": "nation",
+            "on": [["c_nationkey", "n_nationkey"]],
+            "how": "inner",
+            "select": ["n_nationkey", "n_name"],
+        },
+    ],
+    "group_by": ["c_custkey", "c_mktsegment", "n_name"],
+    "aggs": [
+        {"fn": "count", "col": "o_orderkey", "as": "n_orders"},
+        {"fn": "sum", "col": "o_totalprice", "as": "total_spend", "cast": "decimal(18,2)"},
+    ],
+    "renames": {"c_mktsegment": "segment"},
+    "columns": ["c_custkey", "segment", "n_name", "n_orders", "total_spend"],
+}
+
+
+def config_driven_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: the SENSUM_STYLE_CONFIG plan."""
+    return build_merge_plan(spark, sf_dir, SENSUM_STYLE_CONFIG)
+
+
+CONFIG_DRIVEN_MERGE_SQL = """
+SELECT c_custkey, c_mktsegment AS segment, n_name,
+       COUNT(o_orderkey) AS n_orders,
+       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+FROM customer
+LEFT JOIN orders ON c_custkey = o_custkey
+JOIN nation ON c_nationkey = n_nationkey
+GROUP BY c_custkey, c_mktsegment, n_name
+"""

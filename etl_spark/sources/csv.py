@@ -1,0 +1,126 @@
+"""CSV scan dialects (SURVEY.md §2.1).
+
+Each reader is a thin declarative wrapper over ``spark.read.csv`` so
+Catalyst keeps pushdown/pruning; the only imperative path is the
+byte-repair scan (S5), which runs as a line-level DataFrame transform
+(``spark.read.text`` + expressions + ``from_csv``) — still whole-stage
+codegen, no Python in the loop.
+
+Reference parity:
+- S1 ``;``-separated, ``,``-decimal (``src/sensum/sensum.py:65``)
+- S2 pruned + date-parsed + na control (``src/jobs/ydelsesrefusion.py:53-54``)
+- S3 headerless, imposed all-string schema (``src/byggesager/byggesager.py:23-26,36``)
+- S4 tab-separated, cp1252, explicit names/dtypes (``src/logiva_signflow.py:43-51``)
+- S5 byte-level repair: strip ``=``-prefixed Excel quoting, synthesize
+  missing header cells (``src/jobs/indkoebsdata.py:71-134``)
+- S6 multi-file concat with per-file headers (``src/jobs/indkoebsdata.py:118-134``)
+  — native: pass a list/glob of paths, Spark handles headers per file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def read_csv_danish(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    decimal_columns: list[str] | None = None,
+) -> DataFrame:
+    """S1: ``;``-separated, header row, comma decimal separator. Decimal
+    columns are read as strings and converted (``,`` -> ``.``) so the
+    cast is explicit and locale-independent."""
+    reader = spark.read.option("sep", ";").option("header", True)
+    df = reader.schema(schema).csv(path) if schema is not None else reader.csv(path)
+    for c in decimal_columns or []:
+        df = df.withColumn(c, F.replace(F.col(c), F.lit(","), F.lit(".")).cast("double"))
+    return df
+
+
+def read_csv_pruned(
+    spark: SparkSession,
+    path: str,
+    columns: list[str],
+    date_columns: dict[str, str] | None = None,
+) -> DataFrame:
+    """S2: column-pruned scan with per-column date parsing and empty-string
+    (not null) semantics — ``na_filter=False`` analog via nullValue."""
+    df = (
+        spark.read.option("sep", ";")
+        .option("header", True)
+        .option("nullValue", "\u0000")  # nothing maps to null; '' stays ''
+        .csv(path)
+        .select(*columns)
+    )
+    # univocity still yields null for unquoted-empty cells; restore the
+    # na_filter=False contract ('' stays '') on the string columns
+    df = df.na.fill("", [c for c, typ in df.dtypes if typ == "string"])
+    for c, fmt in (date_columns or {}).items():
+        df = df.withColumn(c, F.to_date(F.col(c), fmt))
+    return df
+
+
+def read_csv_headerless(spark: SparkSession, path: str, column_names: list[str]) -> DataFrame:
+    """S3: headerless, imposed names, all-string schema (the reference's
+    ``header=None`` + ``astype(str)``)."""
+    schema = T.StructType([T.StructField(n, T.StringType(), True) for n in column_names])
+    return spark.read.option("sep", ";").option("header", False).schema(schema).csv(path)
+
+
+def read_csv_tab(
+    spark: SparkSession, path: str, schema: T.StructType, encoding: str = "iso-8859-1"
+) -> DataFrame:
+    """S4: tab-separated, legacy-single-byte-encoded, explicit schema.
+
+    Spark 4 allows only a charset whitelist; iso-8859-1 covers the
+    reference's cp1252 exports except the 0x80-0x9F block (set
+    ``spark.sql.legacy.javaCharsets=true`` and pass ``cp1252`` if those
+    bytes matter)."""
+    return (
+        spark.read.option("sep", "\t")
+        .option("header", False)
+        .option("encoding", encoding)
+        .schema(schema)
+        .csv(path)
+    )
+
+
+def read_csv_repaired(
+    spark: SparkSession,
+    path: str,
+    sep: str = ";",
+    n_columns: int | None = None,
+) -> DataFrame:
+    """S5: byte-level repair scan. Handles the reference's broken exports:
+    ``="0123"`` Excel-quoted cells, stray double quotes, and header rows
+    with missing trailing names (synthesized as ``n/a 1..k``).
+
+    Runs as ``spark.read.text`` -> expression repair -> ``from_csv``:
+    fully distributed, no Python row loop. The header is resolved from
+    the first line of the (single) file on the driver — one tiny read.
+    """
+    raw = spark.read.text(path)
+    # repair rule (pure expressions): drop ="..." wrapping, then stray quotes
+    fixed = raw.select(
+        F.regexp_replace(F.regexp_replace(F.col("value"), r'="([^"]*)"', r"$1"), '"', "").alias("line")
+    )
+    header_line = fixed.first()["line"]
+    names = [h.strip() for h in header_line.split(sep)]
+    if n_columns is not None and len(names) < n_columns:
+        names += [f"n/a {i + 1}" for i in range(n_columns - len(names))]
+    names = [n if n else f"n/a {i + 1}" for i, n in enumerate(names)]
+    ddl = ", ".join(f"`{n}` STRING" for n in names)
+    body = fixed.filter(F.col("line") != F.lit(header_line))
+    parsed = body.select(F.from_csv(F.col("line"), ddl, {"sep": sep}).alias("r")).select("r.*")
+    return parsed
+
+
+def read_csv_multifile(
+    spark: SparkSession, paths: list[str], header: bool = True, sep: str = ";"
+) -> DataFrame:
+    """S6: multi-file scan; Spark skips each file's header natively (the
+    reference hand-looped ``copyfileobj`` + readline-skip)."""
+    return spark.read.option("sep", sep).option("header", header).csv(paths)

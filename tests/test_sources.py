@@ -1,0 +1,125 @@
+"""Source connectors: CSV dialects, byte repair, discovery, coercion."""
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from etl_spark.sources import (
+    coerce_string_columns,
+    discover_files,
+    latest_file,
+    read_csv_danish,
+    read_csv_headerless,
+    read_csv_pruned,
+    read_csv_repaired,
+    read_csv_tab,
+)
+from etl_spark.sources.coerce import infer_cast_plan
+
+
+@pytest.fixture()
+def csv_dir(tmp_path):
+    d = tmp_path / "csv"
+    d.mkdir()
+    return d
+
+
+def test_read_csv_danish_decimal_comma(spark, csv_dir):
+    p = csv_dir / "danish.csv"
+    p.write_text("navn;beløb;antal\nA;12,50;3\nB;0,25;7\n", encoding="utf-8")
+    df = read_csv_danish(spark, str(p), decimal_columns=["beløb"])
+    rows = {r["navn"]: (r["beløb"], r["antal"]) for r in df.collect()}
+    assert rows["A"] == (12.50, "3")
+    assert rows["B"][0] == 0.25
+
+
+def test_read_csv_pruned_dates_and_empties(spark, csv_dir):
+    p = csv_dir / "pruned.csv"
+    p.write_text("Uge;Ydelse;Kommentar;Ekstra\n2024-01-01;X;;drop\n2024-02-05;Y; ;drop\n")
+    df = read_csv_pruned(
+        spark, str(p), columns=["Uge", "Ydelse", "Kommentar"], date_columns={"Uge": "yyyy-MM-dd"}
+    )
+    assert df.columns == ["Uge", "Ydelse", "Kommentar"]
+    rows = df.orderBy("Uge").collect()
+    assert str(rows[0]["Uge"]) == "2024-01-01"
+    # empty-string cells stay strings, not null (na_filter=False semantics)
+    assert rows[0]["Kommentar"] == ""
+    assert rows[1]["Kommentar"] == " "
+
+
+def test_read_csv_headerless_imposed_schema(spark, csv_dir):
+    p = csv_dir / "nohdr.csv"
+    p.write_text("1;x;2024\n2;y;2025\n")
+    df = read_csv_headerless(spark, str(p), ["id", "code", "year"])
+    assert df.columns == ["id", "code", "year"]
+    assert [f.dataType for f in df.schema.fields] == [T.StringType()] * 3
+    assert df.count() == 2
+
+
+def test_read_csv_tab_legacy_encoding(spark, csv_dir):
+    p = csv_dir / "tab.csv"
+    # cp1252 and iso-8859-1 agree on the Danish letters; Spark 4 only
+    # whitelists the latter
+    p.write_bytes("Søren\t100\nÅse\t200\n".encode("cp1252"))
+    schema = T.StructType(
+        [T.StructField("navn", T.StringType()), T.StructField("v", T.StringType())]
+    )
+    df = read_csv_tab(spark, str(p), schema)
+    assert {r["navn"] for r in df.collect()} == {"Søren", "Åse"}
+
+
+def test_read_csv_repaired_excel_quoting_and_headers(spark, csv_dir):
+    p = csv_dir / "broken.csv"
+    p.write_text('id;navn;\n="0123";"Randers";x1\n="0456";Aarhus;x2\n')
+    df = read_csv_repaired(spark, str(p), n_columns=3)
+    assert df.columns[:2] == ["id", "navn"]
+    assert df.columns[2].startswith("n/a")
+    rows = {r["id"]: r["navn"] for r in df.collect()}
+    assert rows == {"0123": "Randers", "0456": "Aarhus"}
+
+
+def test_discovery_glob_and_latest(spark, tmp_path, sf_dir):
+    import shutil
+    import time as _t
+
+    a = tmp_path / "drop_a.parquet"
+    b = tmp_path / "drop_b.parquet"
+    shutil.copy(f"{sf_dir}/region.parquet", a)
+    _t.sleep(1.1)
+    shutil.copy(f"{sf_dir}/nation.parquet", b)
+    meta = discover_files(spark, str(tmp_path / "drop_*.parquet"))
+    assert meta.count() == 2
+    assert latest_file(spark, str(tmp_path / "drop_*.parquet")).endswith("drop_b.parquet")
+
+
+def test_infer_cast_plan_votes(spark):
+    df = spark.createDataFrame(
+        [("1", "2,5", "2024-01-02", "2024-01-02 03:04:05", "abc", "")],
+        ["i", "d", "dt", "ts", "s", "empty"],
+    )
+    plan = infer_cast_plan(df)
+    assert plan["i"] == "bigint"
+    assert plan["d"] == "double"  # comma decimal normalized
+    assert plan["dt"] == "date"  # bare date, not timestamp
+    assert plan["ts"] == "timestamp"
+    assert plan["s"] == "string"
+    assert plan["empty"] == "string"  # no votes -> stays string
+
+
+def test_coerce_round_trip_types(spark, sf_dir):
+    e = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("string").alias("event_id"),
+        F.col("ts").cast("string").alias("ts"),
+        F.col("value").cast("string").alias("value"),
+    )
+    out = coerce_string_columns(e)
+    types = dict(out.dtypes)
+    assert types == {"event_id": "bigint", "ts": "timestamp", "value": "double"}
+    # lossless round trip
+    orig = spark.read.parquet(f"{sf_dir}/events.parquet")
+    diff = (
+        out.alias("a")
+        .join(orig.alias("b"), "event_id")
+        .filter((F.col("a.ts") != F.col("b.ts")) | (F.col("a.value") != F.col("b.value")))
+    )
+    assert diff.count() == 0

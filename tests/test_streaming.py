@@ -1,0 +1,90 @@
+"""Structured Streaming surface: streaming replay == batch replay;
+windowed aggregation batch/stream equivalence."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.changelog import generate_changelog
+from etl_spark.cdc.replay import ReplayEngine
+from etl_spark.streaming import stream_replay, windowed_event_counts
+
+N_EVENTS = 2000
+GEN = dict(seed=7, n_repos=5, paths_per_repo=20, num_batches=4)
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    return generate_changelog(spark, N_EVENTS, **GEN).cache()
+
+
+def _state(engine):
+    return {
+        (r["repo"], r["path"]): (r["commit"], r["content_sha256"])
+        for r in engine.read_state().collect()
+    }
+
+
+def test_stream_replay_matches_batch_replay(spark, tmp_path, changelog):
+    # batch reference
+    batch_engine = ReplayEngine(spark, str(tmp_path / "batch_table"), num_buckets=4)
+    batch_engine.replay(changelog)
+
+    # streaming: WAL files land in a directory, one file per logical batch
+    wal = tmp_path / "wal"
+    for b in range(GEN["num_batches"]):
+        changelog.filter(F.col("batch_id") == b).coalesce(1).write.mode("append").parquet(str(wal))
+
+    engine = stream_replay(
+        spark,
+        str(wal),
+        str(tmp_path / "stream_table"),
+        str(tmp_path / "ckpt"),
+        num_buckets=4,
+    )
+    assert _state(engine) == _state(batch_engine)
+    # fence covers every applied batch exactly once
+    assert sorted(engine.applied_batches()) == list(range(GEN["num_batches"]))
+
+
+def test_stream_replay_resume_is_noop_on_rerun(spark, tmp_path, changelog):
+    wal = tmp_path / "wal2"
+    changelog.coalesce(1).write.mode("append").parquet(str(wal))
+    root, ckpt = str(tmp_path / "t2"), str(tmp_path / "ckpt2")
+    e1 = stream_replay(spark, str(wal), root, ckpt, num_buckets=4)
+    n1 = e1.read_state().count()
+    fence1 = e1.fence_offset()
+    # second run: stream checkpoint says nothing new; engine fence agrees
+    e2 = stream_replay(spark, str(wal), root, ckpt, num_buckets=4)
+    assert e2.read_state().count() == n1
+    assert e2.fence_offset() == fence1
+
+
+def test_windowed_counts_stream_equals_batch(spark, tmp_path, sf_dir):
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    batch = windowed_event_counts(events)
+
+    import shutil
+
+    src_dir = tmp_path / "events_stream"
+    src_dir.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src_dir / "part-0.parquet")
+    stream = spark.readStream.schema(events.schema).parquet(str(src_dir))
+    q = (
+        windowed_event_counts(stream)
+        .writeStream.format("memory")
+        .queryName("win_counts")
+        .outputMode("complete")
+        .option("checkpointLocation", str(tmp_path / "wc_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM win_counts").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n_events"], r["total_value"])
+        for r in batch.collect()
+    }
+    assert got == want
