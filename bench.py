@@ -56,7 +56,9 @@ def _force(df) -> int:
     return 0
 
 
-def bench_cdc_replay(spark, n_events: int, num_batches: int, workdir: str) -> dict:
+def bench_cdc_replay(
+    spark, n_events: int, num_batches: int, workdir: str, mode: str, content_scale: int = 1
+) -> dict:
     from etl_spark.cdc.changelog import generate_changelog
     from etl_spark.cdc.replay import ReplayEngine
 
@@ -71,16 +73,35 @@ def bench_cdc_replay(spark, n_events: int, num_batches: int, workdir: str) -> di
         hot_share=0.3,
         num_batches=num_batches,
         parallelism=parallelism,
+        content_scale=content_scale,
     ).write.mode("overwrite").parquet(log_path)
     changelog = spark.read.parquet(log_path)
 
-    table_root = os.path.join(workdir, "repo_files")
+    # warm the executor-side machinery once before timing: codegen
+    # compilation and one Python UDF worker per core (a fixed per-process
+    # cost any long-running ingest pays once, not per batch — excluding
+    # it measures sustained throughput, which is the metric)
+    from pyspark.sql import functions as F
+
+    from etl_spark.functions.normalize import with_content_sha256
+
+    warm = spark.range(0, parallelism * 4, 1, parallelism).select(
+        F.concat(F.lit("warm\r\n x "), F.col("id").cast("string")).alias("content")
+    )
+    with_content_sha256(warm).write.mode("overwrite").format("noop").save()
+
+    table_root = os.path.join(workdir, f"repo_files_{mode}")
+    # timed section covers replay AND final compaction: the quoted
+    # throughput lands the log in fully-materialized final state
     t0 = time.monotonic()
-    engine = ReplayEngine(spark, table_root, num_buckets=max(16, parallelism))
+    engine = ReplayEngine(spark, table_root, num_buckets=max(16, parallelism), mode=mode)
     results = engine.replay(changelog)
+    if mode == "mor":
+        engine.compact(min_files=2)
     wall = time.monotonic() - t0
     final_rows = engine.read_state().count()
     return {
+        "mode": mode,
         "events": n_events,
         "batches": num_batches,
         "wall_sec": round(wall, 3),
@@ -95,6 +116,7 @@ def main() -> None:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     n_events = int(os.environ.get("ETL_SPARK_BENCH_EVENTS", "1000000"))
     num_batches = int(os.environ.get("ETL_SPARK_BENCH_BATCHES", "4"))
+    mode = os.environ.get("ETL_SPARK_BENCH_MODE", "mor")
     skip = {s for s in os.environ.get("ETL_SPARK_BENCH_SKIP", "").split(",") if s}
 
     spark = build_session("etl-spark-bench", master=f"local[{cpus}]")
@@ -106,7 +128,7 @@ def main() -> None:
     workdir = tempfile.mkdtemp(prefix="etl_spark_bench_")
     try:
         t0 = time.monotonic()
-        cdc = bench_cdc_replay(spark, n_events, num_batches, workdir)
+        cdc = bench_cdc_replay(spark, n_events, num_batches, workdir, mode)
         queries["cdc_replay"] = round(time.monotonic() - t0, 3)
     finally:
         shutil.rmtree(workdir, ignore_errors=True)

@@ -54,6 +54,7 @@ def generate_changelog(
     p_insert: float = 0.6,
     p_update: float = 0.3,
     parallelism: int | None = None,
+    content_scale: int = 1,
 ) -> DataFrame:
     """Return the synthetic change log as a DataFrame (CHANGE_LOG_SCHEMA).
 
@@ -114,7 +115,10 @@ def generate_changelog(
     line = F.concat(w1, F.lit(" "), w2, F.lit("("), w3, F.lit(", æøå_"),
                     (_h(seed, 12) % 100).cast("string"), F.lit(")"))
     trailer = F.when(_h(seed, 13) % 3 == 0, F.lit("  \r\n")).otherwise(F.lit("\n"))
-    n_lines = (_h(seed, 14) % 30 + 2).cast("int")
+    # content_scale multiplies the line count (default ~430 B/file;
+    # scale 4 ~ 1.7 KB — representative of real source files) without
+    # changing keys, ordering, or any other semantics
+    n_lines = ((_h(seed, 14) % 30 + 2) * content_scale).cast("int")
     body = F.concat(
         F.lit("# module "), F.col("path"), F.lit("\n"),
         F.repeat(F.concat(line, trailer), n_lines),

@@ -79,6 +79,48 @@ def lww_winners(
     return agg.select(*keys, "__w.*", *extra)
 
 
+def lww_winners_broadcast(
+    df: DataFrame,
+    key_columns: list[str] | None = None,
+    order_columns: list[str] | None = None,
+    count_col: str | None = None,
+) -> DataFrame:
+    """Two-phase broadcast argmax — the wide-row scale strategy.
+
+    ``max_by`` over full rows shuffles every byte of payload; at 100 TB
+    (or any memory-bandwidth-bound box) moving content dominates wall
+    time. Here phase 1 aggregates the max (commit, offset) per key over a
+    THIN projection — Parquet column pruning means the content column is
+    never even read for it — and phase 2 broadcast-joins that winner list
+    back to fetch exactly the winning rows. The payload is scanned once
+    and shuffled never.
+
+    Requires the winner set (distinct keys x ~60 B) to fit the driver's
+    broadcast budget — true for any sane micro-batch; fall back to
+    ``lww_winners`` (hash-agg) beyond that.
+
+    The order tuple must be unique per key (ours is: offset is unique),
+    so the equality join returns exactly one row per key.
+    """
+    keys = list(key_columns or KEY_COLUMNS)
+    order = list(order_columns or ORDER_COLUMNS)
+    thin = df.select(*keys, _order_struct(order).alias("__ord"))
+    aggs = [F.max("__ord").alias("__ord")]
+    if count_col:
+        aggs.append(F.count(F.lit(1)).alias(count_col))
+    maxes = thin.groupBy(*keys).agg(*aggs)
+    renamed = maxes.select(
+        *[F.col(k).alias(f"__k_{k}") for k in keys],
+        "__ord",
+        *([count_col] if count_col else []),
+    )
+    cond = _order_struct(order) == F.col("__ord")
+    for k in keys:
+        cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+    extra = [count_col] if count_col else []
+    return df.join(F.broadcast(renamed), on=cond).select(*df.columns, *extra)
+
+
 def lww_winners_window(
     df: DataFrame,
     key_columns: list[str] | None = None,

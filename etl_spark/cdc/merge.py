@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from etl_spark.cdc.lww import lww_winners
+from etl_spark.cdc.lww import lww_winners, lww_winners_broadcast
 from etl_spark.functions.normalize import with_content_sha256
 from etl_spark.table.manifest import ManifestTable, Snapshot, bucket_expr
 
@@ -34,32 +34,87 @@ from etl_spark.table.manifest import ManifestTable, Snapshot, bucket_expr
 LINEAGE_COLS = ["_ingest_offset", "_ingest_batch"]
 
 
+def resolve_state(raw: DataFrame, lww_strategy: str = "broadcast") -> DataFrame:
+    """Merge-on-read resolution: one LWW winner per key over base+delta
+    rows, tombstones dropped. Identical rule to the cow merge, so both
+    modes replay a log to the exact same final state. The broadcast
+    strategy keeps content rows from shuffling here too (winner set =
+    live keys — switch to "agg" when that exceeds the broadcast budget)."""
+    pick = lww_winners_broadcast if lww_strategy == "broadcast" else lww_winners
+    resolved = pick(raw, order_columns=["commit", "_ingest_offset"])
+    return resolved.filter(~F.col("_deleted"))
+
+
 def merge_batch(
     table: ManifestTable,
     batch_events: DataFrame,
     batch_id: int,
     properties_update: dict,
+    mode: str = "cow",
+    lww_strategy: str = "broadcast",
 ) -> tuple[Snapshot, dict]:
     """Apply one micro-batch of change events. Returns (snapshot, counters).
 
     ``batch_events``: CHANGE_LOG_SCHEMA rows (may contain multiple events
     per key, out-of-order commits — the LWW window resolves them here).
+
+    ``mode``:
+    - ``cow`` (copy-on-write): read + rewrite the touched buckets; reads
+      stay resolution-free. Right when batches touch few buckets.
+    - ``mor`` (merge-on-read): append the batch's LWW winners (deletes as
+      ``_deleted`` tombstones) as delta files — O(batch) write cost even
+      when a hot repo touches every bucket; readers resolve via the same
+      LWW rule (see ``resolve_state``), compaction folds deltas back
+      down. The 10^10-events/hot-skew scale path.
     """
     snap = table.current_snapshot()
+    keys = table.key_columns
 
-    # one winner per key inside the batch (cheap: batch << table);
-    # __n_events rides along so totals come from this same agg job
-    winners = lww_winners(batch_events, count_col="__n_events").cache()
-
-    # ONE small driver-side job for all counters + touched buckets
-    # (winners is tiny: one row per distinct key in the batch)
-    stats = winners.agg(
-        F.count(F.lit(1)).alias("keys"),
-        F.coalesce(F.sum("__n_events"), F.lit(0)).alias("events"),
-        F.coalesce(F.sum((F.col("op") != "D").cast("long")), F.lit(0)).alias("ups"),
-        F.coalesce(F.sum((F.col("op") == "D").cast("long")), F.lit(0)).alias("dels"),
-        F.collect_set(bucket_expr(table.key_columns, snap.num_buckets)).alias("buckets"),
-    ).first()
+    # One winner per key. Strategy "broadcast" (default): a THIN
+    # projection (keys + order + op — parquet never reads content for
+    # it) aggregates the max order per key; `op` rides INSIDE the order
+    # struct (it can never flip the max: offset is unique per key), so
+    # the same tiny aggregate yields every counter. The full-content
+    # pass then happens exactly once: scan -> broadcast-join the winner
+    # list -> fingerprint -> bucket shuffle -> write. Content is never
+    # cached and never shuffled at full batch width — measured to be the
+    # difference between GC-bound and CPU-bound at high parallelism.
+    if lww_strategy == "broadcast":
+        order_op = F.struct(F.col("commit"), F.col("offset"), F.col("op")).alias("__ord")
+        maxes = (
+            batch_events.select(*keys, order_op)
+            .groupBy(*keys)
+            .agg(F.max("__ord").alias("__ord"), F.count(F.lit(1)).alias("__n"))
+            .cache()  # thin: one ~60 B row per distinct key
+        )
+        stats = maxes.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.coalesce(F.sum("__n"), F.lit(0)).alias("events"),
+            F.coalesce(F.sum((F.col("__ord.op") != "D").cast("long")), F.lit(0)).alias("ups"),
+            F.coalesce(F.sum((F.col("__ord.op") == "D").cast("long")), F.lit(0)).alias("dels"),
+            F.collect_set(bucket_expr(keys, snap.num_buckets)).alias("buckets"),
+        ).first()
+        renamed = maxes.select(
+            *[F.col(k).alias(f"__k_{k}") for k in keys],
+            F.col("__ord.commit").alias("__w_commit"),
+            F.col("__ord.offset").alias("__w_offset"),
+        )
+        cond = (F.col("commit") == F.col("__w_commit")) & (F.col("offset") == F.col("__w_offset"))
+        for k in keys:
+            cond = cond & (F.col(k) == F.col(f"__k_{k}"))
+        winners = batch_events.join(F.broadcast(renamed), on=cond).select(*batch_events.columns)
+        thin_cache = maxes
+    else:
+        cached = lww_winners(batch_events, count_col="__n_events").cache()
+        stats = cached.agg(
+            F.count(F.lit(1)).alias("keys"),
+            F.coalesce(F.sum("__n_events"), F.lit(0)).alias("events"),
+            F.coalesce(F.sum((F.col("op") != "D").cast("long")), F.lit(0)).alias("ups"),
+            F.coalesce(F.sum((F.col("op") == "D").cast("long")), F.lit(0)).alias("dels"),
+            F.collect_set(bucket_expr(keys, snap.num_buckets)).alias("buckets"),
+        ).first()
+        winners = cached.drop("__n_events")
+        thin_cache = cached
     n_keys, n_events = stats["keys"], stats["events"]
     touched = sorted(stats["buckets"])
 
@@ -70,7 +125,7 @@ def merge_batch(
     # schema default; widened types are cast up.
     v1_names = {c.id: c.name for c in snap.schemas[1].columns}
     event_cols = set(batch_events.columns)
-    computed = {"content_sha256", "_ingest_offset", "_ingest_batch"}
+    computed = {"content_sha256", "_ingest_offset", "_ingest_batch", "_deleted"}
     proj = []
     for c in snap.schema.columns:
         if c.name in computed:
@@ -86,20 +141,34 @@ def merge_batch(
         F.col("offset").alias("_ingest_offset"),
         F.lit(batch_id).cast("int").alias("_ingest_batch"),
     )
-    # fingerprint only rows that survive as upserts (D rows have null content)
-    source = with_content_sha256(source)
-
-    existing = table.read(buckets=touched, snapshot=snap).withColumn("__op", F.lit(None).cast("string"))
-
-    unioned = existing.unionByName(source.select(*existing.columns))
-    # tiebreak __op desc_nulls_last: a redelivered identical event (same
-    # commit+offset as the stored row) deterministically resolves to the
-    # incoming copy — same bytes either way, but the plan stays stable
-    resolved = lww_winners(unioned, order_columns=["commit", "_ingest_offset"], tiebreak="__op")
-    survivors = resolved.filter((F.col("__op").isNull()) | (F.col("__op") != "D")).drop("__op")
-
-    new_snap = table.rewrite_buckets(touched, survivors, properties_update)
+    if mode == "mor":
+        # append winners as deltas (deletes ride along as tombstones);
+        # nothing is read, nothing is rewritten — one bucket-aligned
+        # shuffle + write per batch. The normalize+sha256 pandas_udf runs
+        # as the writer's post_shuffle hook: AFTER the bucket exchange,
+        # at full write parallelism (upstream, AQE may have coalesced the
+        # LWW aggregation down to a couple of partitions — running the
+        # UDF there would serialize the most expensive per-row work).
+        delta = source.withColumn("_deleted", F.col("__op") == "D").drop("__op")
+        new_snap = table.append_buckets(
+            delta, properties_update, post_shuffle=with_content_sha256
+        )
+    else:
+        # fingerprint new rows before the union (stored rows carry theirs)
+        source = with_content_sha256(source)
+        existing = (
+            table.read(buckets=touched, snapshot=snap)
+            .withColumn("__op", F.lit(None).cast("string"))
+        )
+        src = source.withColumn("_deleted", F.lit(False))
+        unioned = existing.unionByName(src.select(*existing.columns))
+        # tiebreak __op desc_nulls_last: a redelivered identical event (same
+        # commit+offset as the stored row) deterministically resolves to the
+        # incoming copy — same bytes either way, but the plan stays stable
+        resolved = lww_winners(unioned, order_columns=["commit", "_ingest_offset"], tiebreak="__op")
+        survivors = resolved.filter((F.col("__op").isNull()) | (F.col("__op") != "D")).drop("__op")
+        new_snap = table.rewrite_buckets(touched, survivors, properties_update)
     counters = {"rows_in": n_events, "distinct_keys": n_keys,
                 "upserts": stats["ups"], "deletes": stats["dels"]}
-    winners.unpersist()
+    thin_cache.unpersist()
     return new_snap, counters

@@ -28,7 +28,8 @@ from etl_spark.cdc.merge import merge_batch
 from etl_spark.schema import INGEST_METRICS_SCHEMA
 from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
 
-# target table schema v1: input_hint columns + fingerprint + per-row lineage
+# target table schema v1: input_hint columns + fingerprint + per-row
+# lineage + the merge-on-read tombstone flag (always False in cow mode)
 CDC_TARGET_COLUMNS = [
     ColumnDef(1, "repo", "string"),
     ColumnDef(2, "path", "string"),
@@ -38,14 +39,33 @@ CDC_TARGET_COLUMNS = [
     ColumnDef(6, "content_sha256", "string"),
     ColumnDef(7, "_ingest_offset", "long"),
     ColumnDef(8, "_ingest_batch", "int"),
+    ColumnDef(9, "_deleted", "boolean", default=False),
 ]
 
 
 class ReplayEngine:
-    def __init__(self, spark: SparkSession, table_root: str, num_buckets: int = 16):
+    """``mode='cow'`` rewrites touched buckets per batch (resolution-free
+    reads); ``mode='mor'`` appends delta files per batch (O(batch) writes
+    — the hot-skew scale path) and resolves on read, compacting a bucket
+    whenever its file count reaches ``compact_threshold``."""
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        table_root: str,
+        num_buckets: int = 16,
+        mode: str = "cow",
+        compact_threshold: int = 8,
+        lww_strategy: str = "broadcast",
+    ):
+        assert mode in ("cow", "mor")
+        assert lww_strategy in ("broadcast", "agg")
         self.spark = spark
         self.table_root = table_root
         self.num_buckets = num_buckets
+        self.mode = mode
+        self.compact_threshold = compact_threshold
+        self.lww_strategy = lww_strategy
         if ManifestTable.exists(table_root):
             self.table = ManifestTable(spark, table_root, ["repo", "path"])
         else:
@@ -67,13 +87,55 @@ class ReplayEngine:
     def fence_offset(self) -> int:
         return int(self.table.current_snapshot().properties.get("fence_offset", -1))
 
+    def _append_metrics_row(self, batch_id, rows_in, upserts, deletes, distinct_keys, n_ops, duration_ms):
+        """One-row lineage record per batch — written driver-side with
+        pyarrow (a Spark job for one row costs seconds of fixed overhead
+        per batch, which at 10^10 events is pure lost throughput). The
+        directory stays a plain parquet dataset readable by spark.read."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        table = pa.table(
+            {
+                "batch_id": pa.array([batch_id], pa.int32()),
+                "rows_in": pa.array([rows_in], pa.int64()),
+                "upserts": pa.array([upserts], pa.int64()),
+                "deletes": pa.array([deletes], pa.int64()),
+                "distinct_keys": pa.array([distinct_keys], pa.int64()),
+                "schema_ops": pa.array([n_ops], pa.int32()),
+                "duration_ms": pa.array([duration_ms], pa.int64()),
+            }
+        )
+        os.makedirs(self._metrics_dir, exist_ok=True)
+        pq.write_table(table, os.path.join(self._metrics_dir, f"batch-{batch_id:08d}.parquet"))
+
     def metrics(self) -> DataFrame:
         if not os.path.isdir(self._metrics_dir) or not os.listdir(self._metrics_dir):
             return self.spark.createDataFrame([], INGEST_METRICS_SCHEMA)
         return self.spark.read.parquet(self._metrics_dir)
 
     def read_state(self) -> DataFrame:
-        return self.table.read()
+        """Current table state. In mor mode, resolves base+delta files
+        with the same LWW rule the merge uses and drops tombstones; in
+        cow mode files already hold exactly one live row per key."""
+        from etl_spark.cdc.merge import resolve_state
+
+        raw = self.table.read()
+        if self.mode == "mor":
+            return resolve_state(raw, self.lww_strategy).drop("_deleted")
+        return raw.filter(~F.col("_deleted")).drop("_deleted")
+
+    def compact(self, min_files: int = 2) -> list[int]:
+        """Fold delta files back into one base file per bucket (resolved,
+        tombstones dropped). Returns the buckets compacted."""
+        from etl_spark.cdc.merge import resolve_state
+
+        buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
+        if not buckets:
+            return []
+        resolved = resolve_state(self.table.read(buckets=buckets), self.lww_strategy)
+        self.table.rewrite_buckets(buckets, resolved)
+        return buckets
 
     # ---------- the loop ----------
 
@@ -85,14 +147,29 @@ class ReplayEngine:
     ) -> list[dict]:
         """Apply all (or the given) batches in batch-id order; skip batches
         already fenced into the table. Returns per-batch counter dicts."""
+        # ONE pass over the log plans every batch's offset range up front
+        # (vs a min/max job per batch — fixed driver overhead matters for
+        # sustained throughput)
+        bounds = {
+            r["batch_id"]: (r["lo"], r["hi"])
+            for r in changelog.groupBy("batch_id")
+            .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+            .collect()
+        }
         if batches is None:
-            batches = [r[0] for r in changelog.select("batch_id").distinct().orderBy("batch_id").collect()]
+            batches = sorted(bounds)
         results = []
         for b in sorted(batches):
-            results.append(self.apply_batch(changelog, b, schema_ops))
+            results.append(self.apply_batch(changelog, b, schema_ops, bounds=bounds.get(b)))
         return results
 
-    def apply_batch(self, changelog: DataFrame, batch_id: int, schema_ops: DataFrame | None = None) -> dict:
+    def apply_batch(
+        self,
+        changelog: DataFrame,
+        batch_id: int,
+        schema_ops: DataFrame | None = None,
+        bounds: tuple[int, int] | None = None,
+    ) -> dict:
         t0 = time.monotonic()
         snap = self.table.current_snapshot()
         applied = list(snap.properties.get("applied_batches", []))
@@ -100,7 +177,10 @@ class ReplayEngine:
             return {"batch_id": batch_id, "skipped": True}
 
         batch = changelog.filter(F.col("batch_id") == batch_id)
-        lo, hi = batch.select(F.min("offset"), F.max("offset")).first()
+        if bounds is not None:
+            lo, hi = bounds
+        else:
+            lo, hi = batch.select(F.min("offset"), F.max("offset")).first()
         if lo is None:  # empty batch: still fence it
             lo, hi = self.fence_offset(), self.fence_offset()
 
@@ -135,10 +215,15 @@ class ReplayEngine:
             "applied_schema_ops": snap_props_ops,
             "fence_offset": max(fence, int(hi)),
         }
-        _, counters = merge_batch(self.table, batch, batch_id, props)
+        _, counters = merge_batch(
+            self.table, batch, batch_id, props, mode=self.mode, lww_strategy=self.lww_strategy
+        )
+        if self.mode == "mor" and self.compact_threshold:
+            if any(n >= self.compact_threshold for n in self.table.delta_counts().values()):
+                self.compact(min_files=self.compact_threshold)
 
         duration_ms = int((time.monotonic() - t0) * 1000)
-        row = (
+        self._append_metrics_row(
             batch_id,
             counters["rows_in"],
             counters["upserts"],
@@ -146,9 +231,6 @@ class ReplayEngine:
             counters["distinct_keys"],
             n_ops,
             duration_ms,
-        )
-        self.spark.createDataFrame([row], INGEST_METRICS_SCHEMA).coalesce(1).write.mode("append").parquet(
-            self._metrics_dir
         )
         return {"batch_id": batch_id, "skipped": False, "schema_ops": n_ops,
                 "duration_ms": duration_ms, **counters}

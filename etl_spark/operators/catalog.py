@@ -37,6 +37,8 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "join_semi": (R.join_semi, R.JOIN_SEMI_SQL),
     "join_anti": (R.join_anti, R.JOIN_ANTI_SQL),
     "join_asof": (R.join_asof, R.JOIN_ASOF_SQL),
+    "period_backfill": (R.period_backfill, R.PERIOD_BACKFILL_SQL),
+    "positional_join": (R.positional_join, R.POSITIONAL_JOIN_SQL),
     # --- windows ---
     "window_top1_per_key": (R.window_top1_per_key, R.WINDOW_TOP1_SQL),
     "window_rank_topk": (R.window_rank_topk, R.WINDOW_RANK_TOPK_SQL),

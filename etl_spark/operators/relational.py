@@ -598,3 +598,81 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 JSON_EXTRACTION_SQL = """
 SELECT event_id, CAST(props->>'$.k' AS INT) AS prop_k FROM events
 """
+
+
+def period_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Period-grid backfill (reference W4: ``dynamic_period`` year x
+    period grid ``src/jobindsats/jobindsats.py:71-113``): for each
+    customer (bounded key range), every month between their first and
+    last order, zero-filling months with no orders — F.sequence +
+    explode, the Spark-native sequence generator."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_custkey") < 500)
+    month = F.trunc("o_orderdate", "month")
+    span = o.groupBy("o_custkey").agg(
+        F.min(month).alias("m0"), F.max(month).alias("m1")
+    )
+    months = span.select(
+        "o_custkey",
+        F.explode(F.sequence("m0", "m1", F.expr("interval 1 month"))).alias("month"),
+    )
+    per_month = o.groupBy("o_custkey", month.alias("month")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return (
+        months.join(per_month, ["o_custkey", "month"], "left")
+        .select("o_custkey", "month", F.coalesce("n", F.lit(0)).alias("n_orders"))
+    )
+
+
+PERIOD_BACKFILL_SQL = """
+WITH o AS (SELECT * FROM orders WHERE o_custkey < 500),
+span AS (
+  SELECT o_custkey,
+         MIN(DATE_TRUNC('month', o_orderdate)) AS m0,
+         MAX(DATE_TRUNC('month', o_orderdate)) AS m1
+  FROM o GROUP BY 1
+),
+months AS (
+  SELECT o_custkey, CAST(u.m AS DATE) AS month
+  FROM span, UNNEST(generate_series(CAST(m0 AS TIMESTAMP), CAST(m1 AS TIMESTAMP), INTERVAL 1 MONTH)) AS u(m)
+),
+per_month AS (
+  SELECT o_custkey, DATE_TRUNC('month', o_orderdate)::DATE AS month, COUNT(*) AS n
+  FROM o GROUP BY 1, 2
+)
+SELECT months.o_custkey, months.month, COALESCE(per_month.n, 0) AS n_orders
+FROM months LEFT JOIN per_month USING (o_custkey, month)
+"""
+
+
+def positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional (index) join (reference J10: ``pd.concat(axis=1)``
+    ``src/jobs/frontdesk_borgerservice.py:251``): k-th priciest order
+    zipped with the k-th highest-balance customer via row_number — the
+    set-based re-expression of an index-aligned concat."""
+    o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
+    wo = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    wc = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    top_o = o.select("o_orderkey", "o_totalprice", F.row_number().over(wo).alias("rk")).filter(
+        F.col("rk") <= 100
+    )
+    top_c = c.select("c_custkey", "c_acctbal", F.row_number().over(wc).alias("rk")).filter(
+        F.col("rk") <= 100
+    )
+    return top_o.join(top_c, "rk").select("rk", "o_orderkey", "o_totalprice", "c_custkey", "c_acctbal")
+
+
+POSITIONAL_JOIN_SQL = """
+WITH top_o AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+  FROM orders QUALIFY rk <= 100
+),
+top_c AS (
+  SELECT c_custkey, c_acctbal,
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+  FROM customer QUALIFY rk <= 100
+)
+SELECT rk, o_orderkey, o_totalprice, c_custkey, c_acctbal
+FROM top_o JOIN top_c USING (rk)
+"""

@@ -37,7 +37,17 @@ def build_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "3")
-        .config("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64m")
+        # granularity knobs: production defaults (64m/128m) assume data >>
+        # cores x partition size; sandbox-scale benches override via env so
+        # stage parallelism stays proportional to what a 100 TB run sees
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("ETL_SPARK_ADVISORY_PARTITION", "64m"),
+        )
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("ETL_SPARK_MAX_PARTITION_BYTES", "128m"),
+        )
         .config(
             "spark.sql.shuffle.partitions",
             str(shuffle_partitions or DEFAULT_SHUFFLE_PARTITIONS),
@@ -47,6 +57,15 @@ def build_session(
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("ETL_SPARK_DRIVER_MEM", "8g"))
+        .config(
+            "spark.driver.extraJavaOptions",
+            os.environ.get(
+                # throughput collector: batch ingest allocates fast and has
+                # no latency SLO — G1's concurrent cycles fall behind at
+                # high thread counts on this workload
+                "ETL_SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
+            ),
+        )
         .config("spark.ui.enabled", "false")
     )
     if master is not None:

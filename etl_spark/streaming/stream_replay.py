@@ -37,11 +37,15 @@ def stream_replay(
     num_buckets: int = 16,
     schema_ops: DataFrame | None = None,
     max_files_per_trigger: int | None = None,
+    mode: str = "cow",
+    compact_threshold: int = 8,
 ) -> ReplayEngine:
     """Tail ``changelog_dir`` (parquet WAL files) into the lake table.
     Blocks until the available backlog is drained; returns the engine for
     state/metrics inspection."""
-    engine = ReplayEngine(spark, table_root, num_buckets=num_buckets)
+    engine = ReplayEngine(
+        spark, table_root, num_buckets=num_buckets, mode=mode, compact_threshold=compact_threshold
+    )
 
     reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
     if max_files_per_trigger is not None:

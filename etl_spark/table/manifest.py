@@ -127,7 +127,15 @@ class Snapshot:
 
 
 def bucket_expr(key_columns: list[str], num_buckets: int):
-    return F.pmod(F.xxhash64(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
+    """Bucket function = Spark's own shuffle hash (murmur3) mod buckets.
+
+    Deliberately the SAME function HashPartitioning uses, so
+    ``repartition(num_buckets, *key_columns)`` lands every row of bucket
+    i in partition i exactly: one writer task per bucket, one file per
+    bucket per commit, uniform over keys — no re-hash collisions/skew
+    from repartitioning on the bucket VALUE, no multi-bucket writer
+    tasks exploding the file count at scale."""
+    return F.pmod(F.hash(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
 
 
 class ManifestTable:
@@ -229,18 +237,28 @@ class ManifestTable:
 
     # ---------- write ----------
 
-    def _write_bucketed(self, df: DataFrame, snap: Snapshot, tag: str) -> dict[int, str]:
-        """Write df (current-schema columns) partitioned by key bucket.
+    def _write_bucketed(self, df: DataFrame, snap: Snapshot, tag: str, post_shuffle=None) -> dict[int, str]:
+        """Write df partitioned by key bucket. Returns {bucket: dir} for
+        buckets that received rows. The bucket function is the table's
+        fixed layout, so every write co-locates keys identically — merges
+        only ever read the buckets they touch.
 
-        Returns {bucket: dir} for buckets that received rows. The bucket
-        function is the table's fixed layout, so every write co-locates
-        keys identically — merges only ever read the buckets they touch.
-        """
+        The repartition pins EXACTLY num_buckets partitions (a
+        user-specified count AQE will not coalesce): one writer task per
+        bucket, no tiny-file explosion, and write parallelism that holds
+        at any data size. ``post_shuffle`` (e.g. the content-sha256
+        pandas_udf) is applied AFTER that exchange so expensive per-row
+        compute runs at full write parallelism instead of on however few
+        partitions the upstream aggregation coalesced to."""
         write_dir = os.path.join(self._data_dir, f"w-{snap.version + 1:08d}-{tag}-{uuid.uuid4().hex[:8]}")
         out = df.withColumn(_BUCKET_COL, bucket_expr(self.key_columns, snap.num_buckets))
-        # repartition by bucket so each output dir is written by the tasks
-        # owning that bucket (avoids tiny-file explosion at scale)
-        out = out.repartition(F.col(_BUCKET_COL))
+        # hash-partition on the KEY columns with exactly num_buckets
+        # partitions: because bucket_expr is the same murmur3-mod, this
+        # puts bucket i in partition i — perfectly aligned, no collisions
+        out = out.repartition(snap.num_buckets, *[F.col(c) for c in self.key_columns])
+        if post_shuffle is not None:
+            out = post_shuffle(out)
+        out = out.select(*snap.schema.names(), _BUCKET_COL)
         out.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(write_dir)
         result: dict[int, str] = {}
         if os.path.isdir(write_dir):
@@ -297,6 +315,37 @@ class ManifestTable:
         )
         self._commit(new)
         return new
+
+    def append_buckets(
+        self, df: DataFrame, properties_update: dict | None = None, post_shuffle=None
+    ) -> Snapshot:
+        """Merge-on-read commit: append ``df``'s rows as DELTA files to the
+        buckets they hash into, leaving existing files untouched. Write
+        amplification is O(batch) instead of O(touched buckets) — the
+        scale path for hot-key workloads where every batch touches every
+        bucket. Readers resolve base+delta with the engine's LWW rule;
+        ``delta_counts`` drives compaction scheduling."""
+        snap = self.current_snapshot()
+        sv = snap.current_schema_version
+        written = self._write_bucketed(df, snap, "dl", post_shuffle=post_shuffle)
+        files = {b: list(es) for b, es in snap.files.items()}
+        for b, p in written.items():
+            files.setdefault(b, []).append({"path": p, "sv": sv})
+        new = Snapshot(
+            version=snap.version + 1,
+            current_schema_version=sv,
+            schemas=snap.schemas,
+            num_buckets=snap.num_buckets,
+            files=files,
+            properties={**snap.properties, **(properties_update or {})},
+        )
+        self._commit(new)
+        return new
+
+    def delta_counts(self) -> dict[int, int]:
+        """{bucket: number of file entries} — >1 means unresolved deltas."""
+        snap = self.current_snapshot()
+        return {b: len(es) for b, es in snap.files.items()}
 
     def merge(
         self,

@@ -104,3 +104,46 @@ def test_metrics_written(spark, tmp_path, changelog):
     assert m["rows_in"].sum() == N_EVENTS
     assert (m["upserts"] + m["deletes"] == m["distinct_keys"]).all()
     assert eng.fence_offset() == N_EVENTS - 1
+
+
+def test_mor_replay_matches_oracle(spark, tmp_path, changelog, oracle_state):
+    """Merge-on-read mode replays to the exact same final state."""
+    eng = ReplayEngine(spark, str(tmp_path / "mor"), num_buckets=8, mode="mor",
+                       compact_threshold=0)
+    eng.replay(changelog)
+    # deltas accumulated (no compaction): >1 file entry somewhere
+    assert max(eng.table.delta_counts().values()) > 1
+    assert_state_equal(engine_state(eng), oracle_state)
+
+
+def test_mor_compaction_preserves_state(spark, tmp_path, changelog, oracle_state):
+    eng = ReplayEngine(spark, str(tmp_path / "morc"), num_buckets=8, mode="mor",
+                       compact_threshold=0)
+    eng.replay(changelog)
+    compacted = eng.compact(min_files=2)
+    assert compacted  # something was folded
+    assert max(eng.table.delta_counts().values()) == 1
+    assert_state_equal(engine_state(eng), oracle_state)
+    # idempotent: nothing left to compact
+    assert eng.compact(min_files=2) == []
+
+
+def test_mor_auto_compaction_and_resume(spark, tmp_path, changelog, oracle_state):
+    root = str(tmp_path / "mora")
+    eng = ReplayEngine(spark, root, num_buckets=8, mode="mor", compact_threshold=3)
+    eng.replay(changelog, batches=[0, 1])
+    del eng
+    eng2 = ReplayEngine(spark, root, num_buckets=8, mode="mor", compact_threshold=3)
+    assert eng2.applied_batches() == [0, 1]
+    eng2.replay(changelog, batches=[2, 3])
+    assert max(eng2.table.delta_counts().values()) < 3 + 1
+    assert_state_equal(engine_state(eng2), oracle_state)
+
+
+def test_mor_duplicate_batch_is_noop(spark, tmp_path, changelog, oracle_state):
+    eng = ReplayEngine(spark, str(tmp_path / "mord"), num_buckets=8, mode="mor",
+                       compact_threshold=0)
+    eng.replay(changelog, batches=[0, 1])
+    assert eng.apply_batch(changelog, 0)["skipped"]
+    eng.replay(changelog, batches=[2, 3])
+    assert_state_equal(engine_state(eng), oracle_state)

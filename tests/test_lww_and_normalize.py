@@ -91,3 +91,22 @@ def test_normalize_examples():
 
 def test_sha256_nulls():
     assert sha256_hex(None) is None
+
+
+def test_lww_broadcast_strategy_equivalent(spark, log):
+    from etl_spark.cdc.lww import lww_winners_broadcast
+
+    agg = _sorted(lww_winners(log))
+    bc = _sorted(lww_winners_broadcast(log))
+    pd.testing.assert_frame_equal(agg, bc)
+
+
+def test_lww_broadcast_count_col(spark, log):
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc.lww import lww_winners_broadcast
+
+    w = lww_winners_broadcast(log, count_col="__n")
+    total = w.agg(F.sum("__n")).first()[0]
+    assert total == log.count()
+    assert w.count() == log.select("repo", "path").distinct().count()
