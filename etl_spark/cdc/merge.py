@@ -52,6 +52,7 @@ def merge_batch(
     properties_update: dict,
     mode: str = "cow",
     lww_strategy: str = "broadcast",
+    delete_guard: DataFrame | None = None,
 ) -> tuple[Snapshot, dict]:
     """Apply one micro-batch of change events. Returns (snapshot, counters).
 
@@ -66,9 +67,27 @@ def merge_batch(
       when a hot repo touches every bucket; readers resolve via the same
       LWW rule (see ``resolve_state``), compaction folds deltas back
       down. The 10^10-events/hot-skew scale path.
+
+    ``delete_guard``: optional DataFrame of key columns naming rows that
+    must NOT be deleted this batch (reference C3 conditional delete —
+    ``src/sd_delta.py:57-72`` deletes an employment only if the person
+    is confirmed gone AND nothing depends on it). A guarded D event is
+    demoted to a no-op: the key's stored row survives untouched.
     """
     snap = table.current_snapshot()
     keys = table.key_columns
+
+    if delete_guard is not None:
+        # demote guarded D events to no-ops pre-LWW (broadcast: the
+        # guard is a key list, always small relative to the batch)
+        guard = F.broadcast(
+            delete_guard.select(*keys).dropDuplicates().withColumn("__guarded", F.lit(True))
+        )
+        batch_events = (
+            batch_events.join(guard, on=keys, how="left")
+            .filter(~((F.col("op") == "D") & F.col("__guarded").isNotNull()))
+            .drop("__guarded")
+        )
 
     # One winner per key. Strategy "broadcast" (default): a THIN
     # projection (keys + order + op — parquet never reads content for

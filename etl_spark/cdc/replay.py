@@ -144,6 +144,7 @@ class ReplayEngine:
         changelog: DataFrame,
         schema_ops: DataFrame | None = None,
         batches: list[int] | None = None,
+        delete_guard: DataFrame | None = None,
     ) -> list[dict]:
         """Apply all (or the given) batches in batch-id order; skip batches
         already fenced into the table. Returns per-batch counter dicts."""
@@ -160,7 +161,11 @@ class ReplayEngine:
             batches = sorted(bounds)
         results = []
         for b in sorted(batches):
-            results.append(self.apply_batch(changelog, b, schema_ops, bounds=bounds.get(b)))
+            results.append(
+                self.apply_batch(
+                    changelog, b, schema_ops, bounds=bounds.get(b), delete_guard=delete_guard
+                )
+            )
         return results
 
     def apply_batch(
@@ -169,6 +174,7 @@ class ReplayEngine:
         batch_id: int,
         schema_ops: DataFrame | None = None,
         bounds: tuple[int, int] | None = None,
+        delete_guard: DataFrame | None = None,
     ) -> dict:
         t0 = time.monotonic()
         snap = self.table.current_snapshot()
@@ -216,7 +222,8 @@ class ReplayEngine:
             "fence_offset": max(fence, int(hi)),
         }
         _, counters = merge_batch(
-            self.table, batch, batch_id, props, mode=self.mode, lww_strategy=self.lww_strategy
+            self.table, batch, batch_id, props, mode=self.mode,
+            lww_strategy=self.lww_strategy, delete_guard=delete_guard,
         )
         if self.mode == "mor" and self.compact_threshold:
             if any(n >= self.compact_threshold for n in self.table.delta_counts().values()):

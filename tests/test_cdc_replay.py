@@ -147,3 +147,25 @@ def test_mor_duplicate_batch_is_noop(spark, tmp_path, changelog, oracle_state):
     assert eng.apply_batch(changelog, 0)["skipped"]
     eng.replay(changelog, batches=[2, 3])
     assert_state_equal(engine_state(eng), oracle_state)
+
+
+def test_guarded_conditional_delete(spark, tmp_path, changelog, oracle_state):
+    """C3: D events for guarded keys are demoted to no-ops; everything
+    else matches the unguarded oracle."""
+    from pyspark.sql import functions as F
+
+    # guard every key that receives at least one delete event
+    guarded_keys = changelog.filter(F.col("op") == "D").select("repo", "path").distinct()
+    eng = ReplayEngine(spark, str(tmp_path / "tg"), num_buckets=8, mode="mor",
+                       compact_threshold=0)
+    eng.replay(changelog, delete_guard=guarded_keys)
+    got = engine_state(eng)
+
+    # oracle: same log with all D events removed
+    no_deletes = changelog.filter(F.col("op") != "D")
+    from tests.oracle import apply_log_oracle
+
+    want = apply_log_oracle(no_deletes.toPandas())
+    assert_state_equal(got, want)
+    # and it differs from the unguarded state (deletes would have fired)
+    assert len(got) > len(oracle_state)
