@@ -35,9 +35,14 @@ os.environ.setdefault("ETL_SPARK_MAX_PARTITION_BYTES", "16m")
 os.environ.setdefault("ETL_SPARK_ADVISORY_PARTITION", "8m")
 from etl_spark.session import build_session
 from bench import bench_cdc_replay
-spark = build_session("scaling-{cores}", master="local[{cores}]")
+# tmpfs for data + shuffle: this VM's single virtio disk (~100 MB/s,
+# shared with co-tenants) bottlenecks both levels identically and
+# swamps the CPU-scaling signal; a real 4x cluster scales its disk
+# bandwidth 4x along with its cores, tmpfs models that honestly
+spark = build_session("scaling-{cores}", master="local[{cores}]",
+                      extra_conf={{"spark.local.dir": "/dev/shm/spark-scal-{cores}"}})
 spark.sparkContext.setLogLevel("ERROR")
-wd = tempfile.mkdtemp(prefix="scal_{cores}_")
+wd = tempfile.mkdtemp(prefix="scal_{cores}_", dir="/dev/shm")
 try:
     r = bench_cdc_replay(spark, {events}, {batches}, wd, {mode!r}, content_scale={content_scale})
 finally:
@@ -48,8 +53,15 @@ print("RESULT " + json.dumps(r))
 
 def run_at(cores: int, events: int, batches: int, mode: str, content_scale: int) -> dict:
     code = _CHILD.format(repo=REPO, cores=cores, events=events, batches=batches, mode=mode, content_scale=content_scale)
+    # taskset pins the WHOLE child (JVM task+GC+shuffle threads AND the
+    # forked Python UDF workers) to exactly `cores` CPUs — local[N]
+    # alone only caps scheduled tasks, letting the "small cluster" level
+    # borrow extra cores for GC/IO/Python and deflating the measured
+    # efficiency. A real N-core executor host is hard-limited; this is
+    # that limit.
+    cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
     out = subprocess.run(
-        [sys.executable, "-c", code],
+        ["taskset", "-c", cpu_list, sys.executable, "-c", code],
         capture_output=True,
         text=True,
         cwd=REPO,

@@ -113,15 +113,15 @@ def merge_batch(
             F.coalesce(F.sum((F.col("__ord.op") == "D").cast("long")), F.lit(0)).alias("dels"),
             F.collect_set(bucket_expr(keys, snap.num_buckets)).alias("buckets"),
         ).first()
-        renamed = maxes.select(
-            *[F.col(k).alias(f"__k_{k}") for k in keys],
-            F.col("__ord.commit").alias("__w_commit"),
-            F.col("__ord.offset").alias("__w_offset"),
-        )
-        cond = (F.col("commit") == F.col("__w_commit")) & (F.col("offset") == F.col("__w_offset"))
-        for k in keys:
-            cond = cond & (F.col(k) == F.col(f"__k_{k}"))
-        winners = batch_events.join(F.broadcast(renamed), on=cond).select(*batch_events.columns)
+        # the winning OFFSET alone identifies the winning event (WAL
+        # offsets are globally unique and the fence keeps re-deliveries
+        # out of the batch), so the broadcast is just one long per key —
+        # ~8 B/row, a LongHashedRelation the driver builds in tens of ms
+        # where broadcasting keys+commits took seconds of serial time
+        winner_offsets = maxes.select(F.col("__ord.offset").alias("__w_offset"))
+        winners = batch_events.join(
+            F.broadcast(winner_offsets), on=F.col("offset") == F.col("__w_offset")
+        ).select(*batch_events.columns)
         thin_cache = maxes
     else:
         cached = lww_winners(batch_events, count_col="__n_events").cache()

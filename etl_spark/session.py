@@ -60,10 +60,12 @@ def build_session(
         .config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
-                # throughput collector: batch ingest allocates fast and has
-                # no latency SLO — G1's concurrent cycles fall behind at
-                # high thread counts on this workload
-                "ETL_SPARK_DRIVER_JAVA_OPTS", "-XX:+UseParallelGC"
+                # throughput collector, GC threads capped: batch ingest
+                # allocates fast with no latency SLO, and on a real
+                # cluster each executor has few cores — uncapped GC
+                # threads on a many-core single JVM just contend
+                "ETL_SPARK_DRIVER_JAVA_OPTS",
+                "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
             ),
         )
         .config("spark.ui.enabled", "false")
