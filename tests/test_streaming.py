@@ -88,3 +88,44 @@ def test_windowed_counts_stream_equals_batch(spark, tmp_path, sf_dir):
         for r in batch.collect()
     }
     assert got == want
+
+
+def test_stateful_lww_stream_matches_batch(spark, tmp_path, changelog):
+    """applyInPandasWithState incremental LWW: each key's LAST emission
+    across all triggers equals the batch LWW winner state."""
+    from etl_spark.cdc.lww import lww_winners
+    from etl_spark.streaming.stateful import stream_lww_state
+
+    wal = tmp_path / "wal_state"
+    for b in range(GEN["num_batches"]):
+        changelog.filter(F.col("batch_id") == b).coalesce(1).write.mode("append").parquet(str(wal))
+
+    stream = (
+        spark.readStream.schema(changelog.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(wal))
+    )
+    q = (
+        stream_lww_state(stream)
+        .writeStream.format("memory")
+        .queryName("lww_state_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "st_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.sql("SELECT * FROM lww_state_stream").toPandas()
+    # last emission per key = the one carrying the greatest (commit, offset)
+    out = out.sort_values(["commit", "offset"]).groupby(["repo", "path"]).tail(1)
+    got = {
+        (r.repo, r.path): (r.commit, r.offset)
+        for r in out.itertuples()
+        if not r.deleted
+    }
+    want = {
+        (r["repo"], r["path"]): (r["commit"], r["offset"])
+        for r in lww_winners(changelog).filter(F.col("op") != "D").collect()
+    }
+    assert got == want
