@@ -47,6 +47,7 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     # --- set ops ---
     "union_dedup": (R.union_dedup, R.UNION_DEDUP_SQL),
     "except_all_keys": (R.except_all_keys, R.EXCEPT_ALL_KEYS_SQL),
+    "intersect_keys": (R.intersect_keys, R.INTERSECT_KEYS_SQL),
     # --- scalar functions ---
     "string_functions": (R.string_functions, R.STRING_FUNCTIONS_SQL),
     "date_functions": (R.date_functions, R.DATE_FUNCTIONS_SQL),

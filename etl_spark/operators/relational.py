@@ -676,3 +676,21 @@ top_c AS (
 SELECT rk, o_orderkey, o_totalprice, c_custkey, c_acctbal
 FROM top_o JOIN top_c USING (rk)
 """
+
+
+def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set intersection (completes the U1-U3 set-op family — the
+    reference has union and except; intersect is its missing dual):
+    nations that have BOTH customers and suppliers."""
+    c, s = t(spark, sf_dir, "customer"), t(spark, sf_dir, "supplier")
+    return (
+        c.select(F.col("c_nationkey").alias("nationkey"))
+        .intersect(s.select(F.col("s_nationkey").alias("nationkey")))
+    )
+
+
+INTERSECT_KEYS_SQL = """
+SELECT c_nationkey AS nationkey FROM customer
+INTERSECT
+SELECT s_nationkey AS nationkey FROM supplier
+"""
