@@ -538,7 +538,10 @@ def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     status drops the row)."""
     from etl_spark.cdc.lww import lww_winners
 
-    e = t(spark, sf_dir, "events")
+    # project before the aggregation: max_by's buffer carries every
+    # payload column, so unused ones (props) must be dropped here — the
+    # optimizer cannot prune inside the agg struct
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
     winners = lww_winners(
         e, key_columns=["user_id"], order_columns=["ts", "event_id"]
     )
