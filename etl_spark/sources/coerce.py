@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-_CANDIDATES = ["bigint", "double", "date", "timestamp"]
+_CANDIDATES = ["bigint", "double", "date", "timestamp_ntz"]
 
 
 def _clean(c):

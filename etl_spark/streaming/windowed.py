@@ -38,8 +38,12 @@ def windowed_event_counts(
             F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
         )
         .select(
-            F.col("win.start").alias("window_start"),
-            F.col("win.end").alias("window_end"),
+            # NTZ output: the source column is TIMESTAMP_NTZ and the
+            # DuckDB oracle's time_bucket is NTZ too — emitting LTZ here
+            # would make value comparison depend on the comparator's tz
+            # canonicalization (session TZ is UTC, values identical)
+            F.col("win.start").cast("timestamp_ntz").alias("window_start"),
+            F.col("win.end").cast("timestamp_ntz").alias("window_end"),
             "event_type",
             "n_events",
             "total_value",

@@ -101,7 +101,7 @@ def test_infer_cast_plan_votes(spark):
     assert plan["i"] == "bigint"
     assert plan["d"] == "double"  # comma decimal normalized
     assert plan["dt"] == "date"  # bare date, not timestamp
-    assert plan["ts"] == "timestamp"
+    assert plan["ts"] == "timestamp_ntz"
     assert plan["s"] == "string"
     assert plan["empty"] == "string"  # no votes -> stays string
 
@@ -114,7 +114,7 @@ def test_coerce_round_trip_types(spark, sf_dir):
     )
     out = coerce_string_columns(e)
     types = dict(out.dtypes)
-    assert types == {"event_id": "bigint", "ts": "timestamp", "value": "double"}
+    assert types == {"event_id": "bigint", "ts": "timestamp_ntz", "value": "double"}
     # lossless round trip
     orig = spark.read.parquet(f"{sf_dir}/events.parquet")
     diff = (
