@@ -384,6 +384,33 @@ class ManifestTable:
         merged = survivors.unionByName(upserts)
         return self.rewrite_buckets(touched, merged, properties_update)
 
+    def snapshot_at(self, version: int) -> Snapshot:
+        """Load a historical snapshot by version (time travel)."""
+        path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")
+        with open(path) as f:
+            return Snapshot.from_json(f.read())
+
+    def rollback(self, version: int) -> Snapshot:
+        """Restore the table to a historical snapshot — metadata-only
+        (data files are immutable; the rollback is itself a NEW snapshot
+        whose content equals the old one, so rollbacks are in the
+        history too and re-rollback-able). Iceberg-parity recovery for
+        a bad batch: roll back, fix, re-apply — the fence properties
+        restored with the snapshot make the engine re-accept the rolled
+        back offsets."""
+        old = self.snapshot_at(version)
+        cur = self.current_snapshot()
+        new = Snapshot(
+            version=cur.version + 1,
+            current_schema_version=old.current_schema_version,
+            schemas=old.schemas,
+            num_buckets=old.num_buckets,
+            files=old.files,
+            properties=dict(old.properties),
+        )
+        self._commit(new)
+        return new
+
     # ---------- schema evolution (metadata-only, files untouched) ----------
 
     def _evolve(self, mutate) -> Snapshot:

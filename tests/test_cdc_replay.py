@@ -169,3 +169,21 @@ def test_guarded_conditional_delete(spark, tmp_path, changelog, oracle_state):
     assert_state_equal(got, want)
     # and it differs from the unguarded state (deletes would have fired)
     assert len(got) > len(oracle_state)
+
+
+def test_rollback_and_reapply(spark, tmp_path, changelog, oracle_state):
+    """Roll back a bad batch, then re-apply it: the fence restored with
+    the old snapshot makes the engine accept the offsets again, and the
+    final state matches the oracle."""
+    eng = ReplayEngine(spark, str(tmp_path / "rb"), num_buckets=8)
+    eng.replay(changelog, batches=[0, 1])
+    v_good = eng.table.current_snapshot().version
+    eng.replay(changelog, batches=[2])  # pretend batch 2 was bad
+    assert eng.applied_batches() == [0, 1, 2]
+
+    eng.table.rollback(v_good)
+    assert eng.applied_batches() == [0, 1]
+    assert eng.fence_offset() < changelog.filter("batch_id = 2").agg({"offset": "max"}).first()[0]
+
+    eng.replay(changelog, batches=[2, 3])  # re-apply fixed batch + rest
+    assert_state_equal(engine_state(eng), oracle_state)
