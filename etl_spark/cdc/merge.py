@@ -106,13 +106,25 @@ def merge_batch(
             .agg(F.max("__ord").alias("__ord"), F.count(F.lit(1)).alias("__n"))
             .cache()  # thin: one ~60 B row per distinct key
         )
-        stats = maxes.agg(
-            F.count(F.lit(1)).alias("keys"),
-            F.coalesce(F.sum("__n"), F.lit(0)).alias("events"),
-            F.coalesce(F.sum((F.col("__ord.op") != "D").cast("long")), F.lit(0)).alias("ups"),
-            F.coalesce(F.sum((F.col("__ord.op") == "D").cast("long")), F.lit(0)).alias("dels"),
-            F.collect_set(bucket_expr(keys, snap.num_buckets)).alias("buckets"),
-        ).first()
+        # per-bucket (= per key-partition) lineage rides out of the SAME
+        # tiny cached aggregate: one row per bucket with key/event/delete
+        # counts (north_rule: per-partition lineage + ingest metrics)
+        per_bucket = (
+            maxes.groupBy(bucket_expr(keys, snap.num_buckets).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.sum("__n").alias("events"),
+                F.sum((F.col("__ord.op") == "D").cast("long")).alias("deletes"),
+            )
+            .collect()
+        )
+        stats = {
+            "keys": sum(r["keys"] for r in per_bucket),
+            "events": sum(r["events"] for r in per_bucket),
+            "dels": sum(r["deletes"] for r in per_bucket),
+        }
+        stats["ups"] = stats["keys"] - stats["dels"]
+        stats["buckets"] = [r["bucket"] for r in per_bucket]
         # the winning OFFSET alone identifies the winning event (WAL
         # offsets are globally unique and the fence keeps re-deliveries
         # out of the batch), so the broadcast is just one long per key —
@@ -125,13 +137,22 @@ def merge_batch(
         thin_cache = maxes
     else:
         cached = lww_winners(batch_events, count_col="__n_events").cache()
-        stats = cached.agg(
-            F.count(F.lit(1)).alias("keys"),
-            F.coalesce(F.sum("__n_events"), F.lit(0)).alias("events"),
-            F.coalesce(F.sum((F.col("op") != "D").cast("long")), F.lit(0)).alias("ups"),
-            F.coalesce(F.sum((F.col("op") == "D").cast("long")), F.lit(0)).alias("dels"),
-            F.collect_set(bucket_expr(keys, snap.num_buckets)).alias("buckets"),
-        ).first()
+        per_bucket = (
+            cached.groupBy(bucket_expr(keys, snap.num_buckets).alias("bucket"))
+            .agg(
+                F.count(F.lit(1)).alias("keys"),
+                F.sum("__n_events").alias("events"),
+                F.sum((F.col("op") == "D").cast("long")).alias("deletes"),
+            )
+            .collect()
+        )
+        stats = {
+            "keys": sum(r["keys"] for r in per_bucket),
+            "events": sum(r["events"] for r in per_bucket),
+            "dels": sum(r["deletes"] for r in per_bucket),
+        }
+        stats["ups"] = stats["keys"] - stats["dels"]
+        stats["buckets"] = [r["bucket"] for r in per_bucket]
         winners = cached.drop("__n_events")
         thin_cache = cached
     n_keys, n_events = stats["keys"], stats["events"]
@@ -188,6 +209,11 @@ def merge_batch(
         survivors = resolved.filter((F.col("__op").isNull()) | (F.col("__op") != "D")).drop("__op")
         new_snap = table.rewrite_buckets(touched, survivors, properties_update)
     counters = {"rows_in": n_events, "distinct_keys": n_keys,
-                "upserts": stats["ups"], "deletes": stats["dels"]}
+                "upserts": stats["ups"], "deletes": stats["dels"],
+                "per_bucket": [
+                    {"bucket": int(r["bucket"]), "keys": int(r["keys"]),
+                     "events": int(r["events"]), "deletes": int(r["deletes"])}
+                    for r in per_bucket
+                ]}
     thin_cache.unpersist()
     return new_snap, counters

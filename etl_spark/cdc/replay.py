@@ -114,6 +114,35 @@ class ReplayEngine:
             return self.spark.createDataFrame([], INGEST_METRICS_SCHEMA)
         return self.spark.read.parquet(self._metrics_dir)
 
+    def bucket_metrics(self) -> DataFrame:
+        """Per-(batch, bucket) lineage: key/event/delete counts for every
+        key-partition each batch touched (north_rule per-partition
+        metrics; sums reconcile with ``metrics()``)."""
+        d = self._metrics_dir + "_buckets"
+        schema = "batch_id int, bucket int, keys long, events long, deletes long"
+        if not os.path.isdir(d) or not os.listdir(d):
+            return self.spark.createDataFrame([], schema)
+        return self.spark.read.parquet(d)
+
+    def _append_bucket_metrics(self, batch_id: int, per_bucket: list[dict]) -> None:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if not per_bucket:
+            return
+        d = self._metrics_dir + "_buckets"
+        os.makedirs(d, exist_ok=True)
+        table = pa.table(
+            {
+                "batch_id": pa.array([batch_id] * len(per_bucket), pa.int32()),
+                "bucket": pa.array([r["bucket"] for r in per_bucket], pa.int32()),
+                "keys": pa.array([r["keys"] for r in per_bucket], pa.int64()),
+                "events": pa.array([r["events"] for r in per_bucket], pa.int64()),
+                "deletes": pa.array([r["deletes"] for r in per_bucket], pa.int64()),
+            }
+        )
+        pq.write_table(table, os.path.join(d, f"batch-{batch_id:08d}.parquet"))
+
     def read_state(self) -> DataFrame:
         """Current table state. In mor mode, resolves base+delta files
         with the same LWW rule the merge uses and drops tombstones; in
@@ -230,6 +259,7 @@ class ReplayEngine:
                 self.compact(min_files=self.compact_threshold)
 
         duration_ms = int((time.monotonic() - t0) * 1000)
+        self._append_bucket_metrics(batch_id, counters.pop("per_bucket", []))
         self._append_metrics_row(
             batch_id,
             counters["rows_in"],

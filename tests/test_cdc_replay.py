@@ -187,3 +187,24 @@ def test_rollback_and_reapply(spark, tmp_path, changelog, oracle_state):
 
     eng.replay(changelog, batches=[2, 3])  # re-apply fixed batch + rest
     assert_state_equal(engine_state(eng), oracle_state)
+
+
+def test_per_bucket_metrics_reconcile(spark, tmp_path, changelog):
+    """Per-partition lineage: bucket-level counts sum to the batch-level
+    metrics exactly, for every batch."""
+    eng = ReplayEngine(spark, str(tmp_path / "pbm"), num_buckets=8)
+    eng.replay(changelog)
+    batch = {r["batch_id"]: r for r in eng.metrics().collect()}
+    by_batch = (
+        eng.bucket_metrics().groupBy("batch_id")
+        .agg({"keys": "sum", "events": "sum", "deletes": "sum"})
+        .collect()
+    )
+    assert len(by_batch) == len(batch) == 4
+    for r in by_batch:
+        b = batch[r["batch_id"]]
+        assert r["sum(keys)"] == b["distinct_keys"]
+        assert r["sum(events)"] == b["rows_in"]
+        assert r["sum(deletes)"] == b["deletes"]
+    # buckets per batch bounded by table layout
+    assert eng.bucket_metrics().agg({"bucket": "max"}).first()[0] < 8
