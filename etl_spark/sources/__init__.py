@@ -10,3 +10,4 @@ from etl_spark.sources.csv import (  # noqa: F401
 )
 from etl_spark.sources.discovery import discover_files, latest_file  # noqa: F401
 from etl_spark.sources.coerce import coerce_string_columns  # noqa: F401
+from etl_spark.sources.xml import read_xml_rows, xml_records, flatten_element  # noqa: F401

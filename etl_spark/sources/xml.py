@@ -1,0 +1,72 @@
+"""XML ingest: recursive flatten of XML records to relational rows
+(SURVEY.md S7/S8; reference ``src/utils/utils.py:13-21`` ``flatten_xml``
+and ``pd.read_xml(xpath=...)`` ``src/sd_client.py:25,42,83``).
+
+No spark-xml dependency: an Arrow-batched pandas UDF parses each XML
+document with stdlib ElementTree and emits a JSON object per record
+(leaf tag -> text, same rule as the reference's recursive descend);
+``from_json`` with an explicit schema then takes it relational — the
+imperative part touches only the opaque blob, everything after is
+Catalyst-visible.
+"""
+
+from __future__ import annotations
+
+import json
+import xml.etree.ElementTree as ET
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def flatten_element(element: ET.Element) -> dict:
+    """Recursive leaf-collect, identical semantics to the reference's
+    ``flatten_xml``: a leaf contributes {tag: text}; nested elements are
+    descended; repeated tags keep the last value (reference dict-update
+    behavior)."""
+    out: dict = {}
+    for child in element:
+        if len(child) == 0:
+            out[child.tag] = child.text
+        else:
+            out.update(flatten_element(child))
+    if not out and element.text is not None:
+        out[element.tag] = element.text
+    return out
+
+
+@pandas_udf(T.ArrayType(T.StringType()))
+def _records_json_udf(xml_docs: pd.Series, record_tag: pd.Series) -> pd.Series:  # pragma: no cover
+    def parse(doc: str | None, tag: str) -> list | None:
+        if doc is None:
+            return None
+        try:
+            root = ET.fromstring(doc)
+        except ET.ParseError:
+            return None
+        return [
+            json.dumps(flatten_element(rec), ensure_ascii=False)
+            for rec in root.iter(tag)
+        ]
+
+    return pd.Series([parse(d, t) for d, t in zip(xml_docs, record_tag)])
+
+
+def xml_records(xml_col: Column, record_tag: str, schema: str) -> Column:
+    """Array of typed structs: one element per <record_tag> found in the
+    document, fields per the given DDL schema (missing tags -> null)."""
+    docs = _records_json_udf(xml_col, F.lit(record_tag))
+    return F.transform(docs, lambda j: F.from_json(j, schema))
+
+
+def read_xml_rows(
+    df: DataFrame, xml_col: str, record_tag: str, schema: str
+) -> DataFrame:
+    """Explode one row per XML record (the ``pd.read_xml(xpath=...)``
+    analog, distributed)."""
+    recs = xml_records(F.col(xml_col), record_tag, schema)
+    other = [c for c in df.columns if c != xml_col]
+    return df.select(*other, F.explode(recs).alias("_rec")).select(*other, "_rec.*")

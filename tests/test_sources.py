@@ -123,3 +123,35 @@ def test_coerce_round_trip_types(spark, sf_dir):
         .filter((F.col("a.ts") != F.col("b.ts")) | (F.col("a.value") != F.col("b.value")))
     )
     assert diff.count() == 0
+
+
+def test_xml_flatten_records(spark):
+    """S7/S8: XML documents -> relational rows via recursive flatten."""
+    from etl_spark.sources import read_xml_rows
+
+    doc = """<GetInstitution>
+      <Institution><InstitutionIdentifier>II</InstitutionIdentifier>
+        <InstitutionName>Randers</InstitutionName>
+        <Meta><Region>Midt</Region></Meta></Institution>
+      <Institution><InstitutionIdentifier>XX</InstitutionIdentifier>
+        <InstitutionName>Aarhus</InstitutionName></Institution>
+    </GetInstitution>"""
+    df = spark.createDataFrame([(1, doc), (2, None)], ["src_id", "xml"])
+    out = read_xml_rows(
+        df, "xml", "Institution",
+        "InstitutionIdentifier string, InstitutionName string, Region string",
+    )
+    rows = {r["InstitutionIdentifier"]: (r["InstitutionName"], r["Region"], r["src_id"])
+            for r in out.collect()}
+    assert rows == {"II": ("Randers", "Midt", 1), "XX": ("Aarhus", None, 1)}
+
+
+def test_xml_flatten_element_semantics():
+    """Pure flatten rule matches the reference: leaves collected, nested
+    descended, text-only element falls back to its own tag."""
+    import xml.etree.ElementTree as ET
+
+    from etl_spark.sources import flatten_element
+
+    e = ET.fromstring("<R><A>1</A><B><C>2</C><D>3</D></B></R>")
+    assert flatten_element(e) == {"A": "1", "C": "2", "D": "3"}
