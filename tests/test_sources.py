@@ -155,3 +155,39 @@ def test_xml_flatten_element_semantics():
 
     e = ET.fromstring("<R><A>1</A><B><C>2</C><D>3</D></B></R>")
     assert flatten_element(e) == {"A": "1", "C": "2", "D": "3"}
+
+
+def test_sinks_replace_append_chunked_ensure(spark, tmp_path, sf_dir):
+    from etl_spark.table.sinks import (
+        append_table,
+        ensure_table,
+        export_csv,
+        replace_table,
+        write_options,
+    )
+
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    p = str(tmp_path / "t1")
+    replace_table(n, p)
+    replace_table(n, p)  # idempotent full replace
+    assert spark.read.parquet(p).count() == n.count()
+    append_table(n, p)
+    assert spark.read.parquet(p).count() == 2 * n.count()
+
+    # chunked: maxRecordsPerFile bounds rows per part file
+    p2 = str(tmp_path / "t2")
+    replace_table(n, p2, **write_options(batch_rows=5))
+    import glob
+
+    parts = glob.glob(p2 + "/part-*")
+    assert len(parts) >= n.count() // 5
+    assert spark.read.parquet(p2).count() == n.count()
+
+    p3 = str(tmp_path / "t3")
+    export_csv(n.select("n_name", "n_nationkey"), p3)
+    got = spark.read.option("sep", ";").option("header", True).csv(p3)
+    assert got.count() == n.count()
+
+    t = ensure_table(spark, str(tmp_path / "mt"), [(1, "k", "string"), (2, "v", "long")], ["k"])
+    t2 = ensure_table(spark, str(tmp_path / "mt"), [(1, "k", "string"), (2, "v", "long")], ["k"])
+    assert t2.current_snapshot().version == t.current_snapshot().version
