@@ -19,13 +19,24 @@ import json
 from etl_spark.table.manifest import ManifestTable
 
 
-def apply_evolution_op(table: ManifestTable, kind: str, column: str, detail: str | None) -> None:
+def apply_evolution_op(
+    table: ManifestTable,
+    kind: str,
+    column: str,
+    detail: str | None,
+    properties_update: dict | None = None,
+) -> None:
+    """Apply one DDL event. ``properties_update`` commits atomically with
+    the schema change — the replay engine passes the updated
+    ``applied_schema_ops`` here so a crash right after this commit (before
+    the batch's data commit) leaves the op durably recorded and resume
+    never re-applies it."""
     d = json.loads(detail) if detail else {}
     if kind == "add_column":
-        table.add_column(column, d.get("type", "string"), d.get("default"))
+        table.add_column(column, d.get("type", "string"), d.get("default"), properties_update)
     elif kind == "rename_column":
-        table.rename_column(column, d["new_name"])
+        table.rename_column(column, d["new_name"], properties_update)
     elif kind == "widen_type":
-        table.widen_type(column, d["new_type"])
+        table.widen_type(column, d["new_type"], properties_update)
     else:
         raise ValueError(f"unknown schema-evolution kind: {kind!r}")

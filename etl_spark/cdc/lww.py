@@ -96,8 +96,11 @@ def lww_winners_broadcast(
     and shuffled never.
 
     Requires the winner set (distinct keys x ~60 B) to fit the driver's
-    broadcast budget — true for any sane micro-batch; fall back to
-    ``lww_winners`` (hash-agg) beyond that.
+    broadcast budget — true for any sane micro-batch; ``merge_batch``
+    falls back to ``lww_winners`` (hash-agg) automatically above its
+    ``broadcast_key_budget``, and the read/compaction path
+    (``resolve_state``) never uses this strategy by default because its
+    winner set grows with the table.
 
     The order tuple must be unique per key (ours is: offset is unique),
     so the equality join returns exactly one row per key.

@@ -57,6 +57,7 @@ class ReplayEngine:
         mode: str = "cow",
         compact_threshold: int = 8,
         lww_strategy: str = "broadcast",
+        broadcast_key_budget: int | None = None,
     ):
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg")
@@ -66,6 +67,11 @@ class ReplayEngine:
         self.mode = mode
         self.compact_threshold = compact_threshold
         self.lww_strategy = lww_strategy
+        from etl_spark.cdc.merge import BROADCAST_KEY_BUDGET
+
+        self.broadcast_key_budget = (
+            BROADCAST_KEY_BUDGET if broadcast_key_budget is None else broadcast_key_budget
+        )
         if ManifestTable.exists(table_root):
             self.table = ManifestTable(spark, table_root, ["repo", "path"])
         else:
@@ -151,7 +157,11 @@ class ReplayEngine:
 
         raw = self.table.read()
         if self.mode == "mor":
-            return resolve_state(raw, self.lww_strategy).drop("_deleted")
+            # read path always resolves with the hash-agg kernel: the
+            # winner set here is ALL live keys (grows with the table, not
+            # the batch), so the merge-side broadcast strategy must not
+            # leak into reads — see resolve_state's docstring
+            return resolve_state(raw).drop("_deleted")
         return raw.filter(~F.col("_deleted")).drop("_deleted")
 
     def compact(self, min_files: int = 2) -> list[int]:
@@ -162,7 +172,7 @@ class ReplayEngine:
         buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
         if not buckets:
             return []
-        resolved = resolve_state(self.table.read(buckets=buckets), self.lww_strategy)
+        resolved = resolve_state(self.table.read(buckets=buckets))
         self.table.rewrite_buckets(buckets, resolved)
         return buckets
 
@@ -223,7 +233,12 @@ class ReplayEngine:
         fence = int(snap.properties.get("fence_offset", -1))
         batch = batch.filter(F.col("offset") > fence)
 
-        # schema evolution ops inside this batch's offset range, applied first
+        # schema evolution ops inside this batch's offset range, applied
+        # first. Each op's offset is recorded in applied_schema_ops IN THE
+        # SAME atomic evolution commit — a crash between an evolution
+        # commit and the batch's data commit leaves the op durably marked
+        # applied, so resume re-runs the batch without re-applying the op
+        # (re-applying add/rename would raise and wedge the pipeline).
         n_ops = 0
         if schema_ops is not None:
             applied_ops = set(snap.properties.get("applied_schema_ops", []))
@@ -233,15 +248,15 @@ class ReplayEngine:
                 if r["offset"] not in applied_ops
             ]
             for r in pending:
-                apply_evolution_op(self.table, r["kind"], r["column"], r["detail"])
                 applied_ops.add(r["offset"])
+                apply_evolution_op(
+                    self.table, r["kind"], r["column"], r["detail"],
+                    properties_update={"applied_schema_ops": sorted(applied_ops)},
+                )
                 n_ops += 1
             if n_ops:
-                # record applied ops in the next data commit's properties
                 snap = self.table.current_snapshot()
-                snap_props_ops = sorted(applied_ops)
-            else:
-                snap_props_ops = sorted(applied_ops)
+            snap_props_ops = sorted(applied_ops)
         else:
             snap_props_ops = list(snap.properties.get("applied_schema_ops", []))
 
@@ -253,6 +268,7 @@ class ReplayEngine:
         _, counters = merge_batch(
             self.table, batch, batch_id, props, mode=self.mode,
             lww_strategy=self.lww_strategy, delete_guard=delete_guard,
+            broadcast_key_budget=self.broadcast_key_budget,
         )
         if self.mode == "mor" and self.compact_threshold:
             if any(n >= self.compact_threshold for n in self.table.delta_counts().values()):

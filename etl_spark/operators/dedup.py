@@ -307,26 +307,35 @@ WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
 def simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     """16-bit SimHash: per bit j, majority vote over tokens of the high
     bit of md5 hex digit j; fingerprint packs the 16 votes. Token
-    multiplicity preserved (standard SimHash weighting)."""
+    multiplicity preserved (standard SimHash weighting).
+
+    Plan: ONE projection emits all 16 +/-1 votes per token (16 narrow int
+    columns, no crossJoin row blowup), ONE hash aggregation sums them
+    per doc (map-side combine collapses to one partial row per doc per
+    partition before the only exchange), then a scalar projection packs
+    the fingerprint. At 100 TB: shuffle volume is ~72 bytes/doc, not
+    16x the token stream as a bit-table crossJoin would make it."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok"))
-    toks = toks.withColumn("h", F.md5("tok"))
-    bits = spark.range(16).select(F.col("id").cast("int").alias("j"))
-    votes = (
-        toks.crossJoin(F.broadcast(bits))
-        .withColumn(
-            "v",
-            F.expr("CASE WHEN CAST(conv(substring(h, j + 1, 1), 16, 10) AS INT) >= 8 THEN 1 ELSE -1 END"),
-        )
-        .groupBy("doc_id", "j")
-        .agg(F.sum("v").alias("s"))
+    toks = d.select("doc_id", F.explode(_tokens(F.col("text"))).alias("tok")).select(
+        "doc_id", F.md5("tok").alias("h")
     )
-    fp = votes.groupBy("doc_id").agg(
-        F.sum(F.expr("CASE WHEN s >= 0 THEN shiftleft(CAST(1 AS BIGINT), j) ELSE CAST(0 AS BIGINT) END")).alias(
-            "simhash16"
-        )
+    votes = toks.select(
+        "doc_id",
+        *[
+            F.when(F.conv(F.substring("h", j + 1, 1), 16, 10).cast("int") >= 8, 1)
+            .otherwise(-1)
+            .alias(f"v{j}")
+            for j in range(16)
+        ],
     )
-    return fp
+    sums = votes.groupBy("doc_id").agg(*[F.sum(f"v{j}").alias(f"s{j}") for j in range(16)])
+    packed = None
+    for j in range(16):
+        term = F.when(F.col(f"s{j}") >= 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
+        packed = term if packed is None else packed + term
+    # final dtype is a plain BIGINT projection (not SUM->HUGEINT) so the
+    # driver hash sees int64 on both engines
+    return sums.select("doc_id", packed.cast("bigint").alias("simhash16"))
 
 
 SIMHASH_SQL = f"""
@@ -343,7 +352,7 @@ votes AS (
   GROUP BY doc_id, j
 )
 SELECT doc_id,
-       SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS simhash16
+       CAST(SUM(CASE WHEN s >= 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash16
 FROM votes
 GROUP BY doc_id
 """

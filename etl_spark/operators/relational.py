@@ -4,7 +4,11 @@ Every entry is a pair: a Spark DataFrame builder and a DuckDB-compatible
 ANSI-SQL oracle producing identical rows (same column names, same types).
 Determinism rules used throughout:
 - monetary aggregates go through DECIMAL(18,2)/(38,4) so floating-point
-  summation order can never flip a value hash,
+  summation order can never flip a value hash; the FINAL output column is
+  then cast to DOUBLE (exact for scale-2 decimals below 2^53) because the
+  driver's value-hasher materializes Spark decimals as decimal.Decimal but
+  DuckDB HUGEINT/DECIMAL sums as float64 — identical values, different
+  reprs, diverging hashes. DOUBLE is the one dtype both clients agree on,
 - every computed column is aliased identically on both sides,
 - ORDER-insensitive comparison is assumed (driver sorts), so no ORDER BY
   is required for correctness, only for top-k semantics (where it is part
@@ -35,11 +39,11 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec(F.col("l_quantity"))).alias("sum_qty"),
-            F.sum(dec(F.col("l_extendedprice"))).alias("sum_base_price"),
+            F.sum(dec(F.col("l_quantity"))).cast("double").alias("sum_qty"),
+            F.sum(dec(F.col("l_extendedprice"))).cast("double").alias("sum_base_price"),
             F.sum(
                 (dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - dec(F.col("l_discount"))))
-            ).alias("sum_disc_price"),
+            ).cast("double").alias("sum_disc_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -47,9 +51,9 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 PRICING_SUMMARY_SQL = """
 SELECT l_returnflag, l_linestatus,
-       SUM(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS sum_base_price,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS sum_disc_price,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
        COUNT(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= DATE '1998-09-02'
@@ -112,7 +116,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy("r_name", "n_name")
         .agg(
-            F.sum(dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - dec(F.col("l_discount")))).alias("revenue"),
+            F.sum(dec(F.col("l_extendedprice")) * (F.lit(1).cast("decimal(18,2)") - dec(F.col("l_discount")))).cast("double").alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
     )
@@ -120,7 +124,7 @@ def join_star_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 JOIN_STAR_REVENUE_SQL = """
 SELECT r_name, n_name,
-       SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS revenue,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
        COUNT(*) AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -283,14 +287,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return e.select(
         "user_id",
         "event_id",
-        F.sum(F.col("value").cast("decimal(18,2)")).over(w).alias("running_value"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("running_value"),
     )
 
 
 WINDOW_RUNNING_SUM_SQL = """
 SELECT user_id, event_id,
-       SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
-           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
 """
 
@@ -395,13 +399,13 @@ def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = t(spark, sf_dir, "orders")
     return (
         o.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("total"))
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
     )
 
 
 ROLLUP_ORDERS_SQL = """
 SELECT CAST(YEAR(o_orderdate) AS INT) AS order_year, o_orderstatus,
-       COUNT(*) AS n, SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total
+       COUNT(*) AS n, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
 FROM orders
 GROUP BY ROLLUP (order_year, o_orderstatus)
 """
@@ -652,15 +656,27 @@ def positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Positional (index) join (reference J10: ``pd.concat(axis=1)``
     ``src/jobs/frontdesk_borgerservice.py:251``): k-th priciest order
     zipped with the k-th highest-balance customer via row_number — the
-    set-based re-expression of an index-aligned concat."""
+    set-based re-expression of an index-aligned concat.
+
+    Scale note: each side is orderBy().limit(k) — Spark plans that as
+    TakeOrderedAndProject (parallel per-partition partial top-k, then a
+    k-row merge), NOT a global no-partition window that would drag the
+    whole table through one task. row_number then runs over only the
+    k-row results."""
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
     wo = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     wc = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
-    top_o = o.select("o_orderkey", "o_totalprice", F.row_number().over(wo).alias("rk")).filter(
-        F.col("rk") <= 100
+    top_o = (
+        o.select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(100)
+        .withColumn("rk", F.row_number().over(wo))
     )
-    top_c = c.select("c_custkey", "c_acctbal", F.row_number().over(wc).alias("rk")).filter(
-        F.col("rk") <= 100
+    top_c = (
+        c.select("c_custkey", "c_acctbal")
+        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .limit(100)
+        .withColumn("rk", F.row_number().over(wc))
     )
     return top_o.join(top_c, "rk").select("rk", "o_orderkey", "o_totalprice", "c_custkey", "c_acctbal")
 

@@ -59,7 +59,13 @@ def build_merge_plan(spark: SparkSession, sf_dir: str, config: dict) -> DataFram
             col = F.col(a["col"])
             if cast := a.get("cast"):
                 col = col.cast(cast)
-            aggs.append(_AGG_FNS[a["fn"]](col).alias(a["as"]))
+            agg = _AGG_FNS[a["fn"]](col)
+            # driver-hash-stable output dtype: decimal sums are exact, but
+            # the final column must be a dtype both Spark and DuckDB
+            # clients materialize identically (double, not Decimal)
+            if out_cast := a.get("out_cast"):
+                agg = agg.cast(out_cast)
+            aggs.append(agg.alias(a["as"]))
         df = df.groupBy(*group_by).agg(*aggs)
     if renames := config.get("renames"):
         df = df.withColumnsRenamed(renames)
@@ -89,7 +95,7 @@ SENSUM_STYLE_CONFIG = {
     "group_by": ["c_custkey", "c_mktsegment", "n_name"],
     "aggs": [
         {"fn": "count", "col": "o_orderkey", "as": "n_orders"},
-        {"fn": "sum", "col": "o_totalprice", "as": "total_spend", "cast": "decimal(18,2)"},
+        {"fn": "sum", "col": "o_totalprice", "as": "total_spend", "cast": "decimal(18,2)", "out_cast": "double"},
     ],
     "renames": {"c_mktsegment": "segment"},
     "columns": ["c_custkey", "segment", "n_name", "n_orders", "total_spend"],
@@ -104,7 +110,7 @@ def config_driven_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONFIG_DRIVEN_MERGE_SQL = """
 SELECT c_custkey, c_mktsegment AS segment, n_name,
        COUNT(o_orderkey) AS n_orders,
-       SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS total_spend
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
 FROM customer
 LEFT JOIN orders ON c_custkey = o_custkey
 JOIN nation ON c_nationkey = n_nationkey

@@ -23,10 +23,13 @@ from pyspark.sql.functions import pandas_udf
 
 
 def flatten_element(element: ET.Element) -> dict:
-    """Recursive leaf-collect, identical semantics to the reference's
-    ``flatten_xml``: a leaf contributes {tag: text}; nested elements are
-    descended; repeated tags keep the last value (reference dict-update
-    behavior)."""
+    """Recursive leaf-collect in the spirit of the reference's
+    ``flatten_xml`` (``src/utils/utils.py:13-21``), with two intentional
+    deviations: the reference iterates ALL descendants (non-leaf tags
+    contribute their mixed text too) and strips text whitespace; this
+    version collects only leaf tags and keeps raw text, which is the
+    lossless behavior for record-shaped XML. Repeated tags keep the last
+    value (reference dict-update behavior) in both."""
     out: dict = {}
     for child in element:
         if len(child) == 0:

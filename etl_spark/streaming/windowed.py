@@ -35,7 +35,7 @@ def windowed_event_counts(
         )
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.sum(F.col("value").cast("decimal(18,2)")).alias("total_value"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
         )
         .select(
             # NTZ output: the source column is TIMESTAMP_NTZ and the
@@ -63,7 +63,7 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        time_bucket(INTERVAL 1 HOUR, ts) + INTERVAL 1 HOUR AS window_end,
        event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(value AS DECIMAL(18,2))) AS total_value
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
 GROUP BY 1, 2, 3
 """

@@ -14,9 +14,13 @@ pointer swap + snapshot properties + schema evolution by column id):
   by the source batch; untouched buckets are carried over by reference.
   At 10^10 events / 100 TB this is what keeps merge cost proportional to
   the delta, not the table.
-- **Bucketing**: ``pmod(xxhash64(repo, path), num_buckets)`` — the same
-  deterministic layout on every write, so target-side rows for a key are
-  always co-located and merge joins never read unaffected data.
+- **Bucketing**: ``pmod(hash(repo, path), num_buckets)`` (murmur3 —
+  Spark's own shuffle hash, see ``bucket_expr``) — the same deterministic
+  layout on every write, so target-side rows for a key are always
+  co-located and merge joins never read unaffected data. The bucket
+  function name and a table format version are recorded in every
+  snapshot; attaching to a table written under a different bucket
+  function fails loudly instead of silently mis-bucketing merges.
 - **Schema evolution by column id**: add / rename / type-widen bump the
   schema version; data files are never rewritten. Readers map each file
   group from its write-time schema to the current one (rename = id
@@ -44,6 +48,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _BUCKET_COL = "__bucket"
+
+# Recorded in every snapshot. A table written under a different bucket
+# function would silently route cow merges to the wrong buckets (stale
+# duplicate rows for a key in two buckets, no error) — so mismatches on
+# attach raise instead.
+BUCKET_FN = "murmur3_pmod"
+FORMAT_VERSION = 2
 
 
 @dataclass
@@ -95,6 +106,8 @@ class Snapshot:
     # bucket -> list of {"path": dir, "sv": schema_version}
     files: dict[int, list[dict]]
     properties: dict = field(default_factory=dict)
+    bucket_fn: str = BUCKET_FN
+    format_version: int = FORMAT_VERSION
 
     def to_json(self) -> str:
         return json.dumps(
@@ -105,6 +118,8 @@ class Snapshot:
                 "num_buckets": self.num_buckets,
                 "files": {str(b): fs for b, fs in self.files.items()},
                 "properties": self.properties,
+                "bucket_fn": self.bucket_fn,
+                "format_version": self.format_version,
             },
             indent=1,
         )
@@ -119,6 +134,10 @@ class Snapshot:
             num_buckets=d["num_buckets"],
             files={int(b): fs for b, fs in d["files"].items()},
             properties=d.get("properties", {}),
+            # pre-versioning snapshots recorded nothing: attach must not
+            # silently assume they used the current function
+            bucket_fn=d.get("bucket_fn", "unrecorded"),
+            format_version=d.get("format_version", 1),
         )
 
     @property
@@ -177,11 +196,23 @@ class ManifestTable:
     def exists(root: str) -> bool:
         return os.path.exists(os.path.join(root, "_snapshots", "_current"))
 
+    @staticmethod
+    def _check_format(snap: Snapshot) -> Snapshot:
+        if snap.bucket_fn != BUCKET_FN:
+            raise ValueError(
+                f"table was written with bucket function {snap.bucket_fn!r} "
+                f"(format v{snap.format_version}); this build uses {BUCKET_FN!r} "
+                f"(format v{FORMAT_VERSION}). Refusing to attach: merging with a "
+                "different hash would route keys to the wrong buckets and leave "
+                "stale duplicates. Rewrite the table (full overwrite) to migrate."
+            )
+        return snap
+
     def current_snapshot(self) -> Snapshot:
         with open(os.path.join(self._snap_dir, "_current")) as f:
             name = f.read().strip()
         with open(os.path.join(self._snap_dir, name)) as f:
-            return Snapshot.from_json(f.read())
+            return self._check_format(Snapshot.from_json(f.read()))
 
     def _commit(self, snap: Snapshot) -> None:
         """Atomic commit: write immutable snapshot, swap the pointer."""
@@ -388,7 +419,7 @@ class ManifestTable:
         """Load a historical snapshot by version (time travel)."""
         path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")
         with open(path) as f:
-            return Snapshot.from_json(f.read())
+            return self._check_format(Snapshot.from_json(f.read()))
 
     def rollback(self, version: int) -> Snapshot:
         """Restore the table to a historical snapshot — metadata-only
@@ -413,7 +444,12 @@ class ManifestTable:
 
     # ---------- schema evolution (metadata-only, files untouched) ----------
 
-    def _evolve(self, mutate) -> Snapshot:
+    def _evolve(self, mutate, properties_update: dict | None = None) -> Snapshot:
+        """``properties_update`` lands in the SAME atomic commit as the
+        schema change — the replay engine records an op's offset in
+        ``applied_schema_ops`` here, so a crash between the evolution
+        commit and the batch's data commit cannot re-apply the op on
+        resume (re-application of add/rename raises)."""
         snap = self.current_snapshot()
         cur = snap.schema
         new_cols = mutate([ColumnDef(c.id, c.name, c.type, c.default) for c in cur.columns])
@@ -424,21 +460,24 @@ class ManifestTable:
             schemas={**snap.schemas, new_sv: TableSchema(new_cols)},
             num_buckets=snap.num_buckets,
             files=snap.files,
-            properties=snap.properties,
+            properties={**snap.properties, **(properties_update or {})},
         )
         self._commit(new)
         return new
 
-    def add_column(self, name: str, type_: str, default: object | None = None) -> Snapshot:
+    def add_column(
+        self, name: str, type_: str, default: object | None = None,
+        properties_update: dict | None = None,
+    ) -> Snapshot:
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             if any(c.name == name for c in cols):
                 raise ValueError(f"column {name!r} already exists")
             next_id = max(c.id for c in cols) + 1
             return cols + [ColumnDef(next_id, name, type_, default)]
 
-        return self._evolve(mutate)
+        return self._evolve(mutate, properties_update)
 
-    def rename_column(self, old: str, new: str) -> Snapshot:
+    def rename_column(self, old: str, new: str, properties_update: dict | None = None) -> Snapshot:
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             if not any(c.name == old for c in cols):
                 raise ValueError(f"no column {old!r}")
@@ -447,9 +486,9 @@ class ManifestTable:
                     c.name = new
             return cols
 
-        return self._evolve(mutate)
+        return self._evolve(mutate, properties_update)
 
-    def widen_type(self, name: str, new_type: str) -> Snapshot:
+    def widen_type(self, name: str, new_type: str, properties_update: dict | None = None) -> Snapshot:
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             for c in cols:
                 if c.name == name:
@@ -459,4 +498,4 @@ class ManifestTable:
                     return cols
             raise ValueError(f"no column {name!r}")
 
-        return self._evolve(mutate)
+        return self._evolve(mutate, properties_update)

@@ -1,0 +1,155 @@
+"""Round-2 hardening tests: evolution-resume crash window, broadcast
+LWW auto-fallback, duplicate-offset (double-read WAL) robustness, and
+bucket-function format fencing."""
+
+import json
+
+import pytest
+
+from etl_spark.cdc.changelog import generate_changelog
+from etl_spark.cdc.replay import ReplayEngine
+from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
+from tests.oracle import apply_log_oracle
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    df = generate_changelog(spark, 1200, seed=42, n_repos=4, paths_per_repo=10, num_batches=3)
+    df.cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_state(changelog):
+    return apply_log_oracle(changelog.toPandas())
+
+
+def engine_state(engine: ReplayEngine):
+    return (
+        engine.read_state()
+        .select("repo", "path", "commit", "lang", "content", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def test_crash_between_evolution_and_data_commit(spark, tmp_path, changelog, monkeypatch):
+    """VERDICT r01 #4: the evolution commit records its own op offset in
+    applied_schema_ops atomically — a crash BEFORE the batch's data
+    commit must not re-apply the op (add_column would raise) on resume."""
+    import etl_spark.cdc.replay as replay_mod
+
+    root = str(tmp_path / "t")
+    ops = spark.createDataFrame(
+        [(450, "add_column", "size_bytes", json.dumps({"type": "int"}))],
+        SCHEMA_EVOLUTION_SCHEMA,
+    )
+    eng = ReplayEngine(spark, root, num_buckets=4)
+    eng.replay(changelog, batches=[0], schema_ops=ops)
+
+    # crash exactly between the evolution commit and the data commit of
+    # batch 1 (the batch whose range covers offset 450)
+    real_merge = replay_mod.merge_batch
+
+    def crash(*a, **k):
+        raise RuntimeError("simulated crash after evolution commit")
+
+    monkeypatch.setattr(replay_mod, "merge_batch", crash)
+    with pytest.raises(RuntimeError, match="simulated crash"):
+        eng.apply_batch(changelog, 1, schema_ops=ops)
+    monkeypatch.setattr(replay_mod, "merge_batch", real_merge)
+
+    # the evolution snapshot is current and already carries the op record
+    snap = eng.table.current_snapshot()
+    assert snap.current_schema_version == 2
+    assert snap.properties["applied_schema_ops"] == [450]
+    assert eng.applied_batches() == [0]  # data commit never happened
+
+    # fresh engine resumes cleanly: op NOT re-applied, batch re-runs
+    eng2 = ReplayEngine(spark, root, num_buckets=4)
+    results = eng2.replay(changelog, batches=[1, 2], schema_ops=ops)
+    assert [r["schema_ops"] for r in results] == [0, 0]
+    assert eng2.table.current_snapshot().current_schema_version == 2
+    state = eng2.read_state()
+    assert "size_bytes" in state.columns
+    got = engine_state(eng2)
+    want = apply_log_oracle(changelog.toPandas())
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_broadcast_fallback_above_key_budget(spark, tmp_path, changelog, oracle_state):
+    """VERDICT r01 #5/#8: a batch with more distinct keys than the
+    broadcast budget degrades to the hash-agg winner kernel instead of
+    OOMing the driver broadcast — same final state."""
+    eng = ReplayEngine(spark, str(tmp_path / "fb"), num_buckets=4,
+                       lww_strategy="broadcast", broadcast_key_budget=1)
+    results = eng.replay(changelog)
+    assert all(r["lww_path"] == "agg-fallback" for r in results)
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(engine_state(eng), oracle_state)
+
+    # control: default budget keeps the broadcast path
+    eng2 = ReplayEngine(spark, str(tmp_path / "fb2"), num_buckets=4)
+    results2 = eng2.replay(changelog)
+    assert all(r["lww_path"] == "broadcast" for r in results2)
+    pd.testing.assert_frame_equal(engine_state(eng2), oracle_state)
+
+
+def test_double_read_wal_file_mor(spark, tmp_path, changelog, oracle_state):
+    """ADVICE r01: a batch containing every event twice (double-read WAL
+    file) must still resolve to exactly one row per key under mor — the
+    read path's hash-agg kernel collapses byte-identical duplicate
+    winners that the offset-equality merge join let through."""
+    doubled = changelog.unionByName(changelog)
+    eng = ReplayEngine(spark, str(tmp_path / "dd"), num_buckets=4, mode="mor",
+                       compact_threshold=0)
+    eng.replay(doubled)
+    state = eng.read_state()
+    assert state.groupBy("repo", "path").count().filter("count > 1").count() == 0
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(engine_state(eng), oracle_state)
+    # compaction of the duplicate-bearing deltas also stays single-row
+    eng.compact(min_files=2)
+    pd.testing.assert_frame_equal(engine_state(eng), oracle_state)
+
+
+def test_bucket_fn_mismatch_refuses_attach(spark, tmp_path):
+    """ADVICE r01: snapshots record the bucket function; attaching a
+    table written under a different one fails loudly instead of silently
+    mis-bucketing cow merges."""
+    import os
+
+    root = str(tmp_path / "bf")
+    t = ManifestTable.create(
+        spark, root,
+        TableSchema([ColumnDef(1, "k", "string"), ColumnDef(2, "v", "long")]),
+        key_columns=["k"], num_buckets=2,
+    )
+    snap = t.current_snapshot()  # records murmur3_pmod / format v2
+    assert snap.bucket_fn == "murmur3_pmod" and snap.format_version == 2
+
+    # simulate a table written by a build using a different hash
+    snap_dir = os.path.join(root, "_snapshots")
+    with open(os.path.join(snap_dir, "_current")) as f:
+        name = f.read().strip()
+    p = os.path.join(snap_dir, name)
+    d = json.loads(open(p).read())
+    d["bucket_fn"] = "xxhash64_pmod"
+    with open(p, "w") as f:
+        f.write(json.dumps(d))
+    with pytest.raises(ValueError, match="bucket function"):
+        ManifestTable(spark, root, ["k"]).current_snapshot()
+
+    # pre-versioning snapshots (field absent) are refused too
+    del d["bucket_fn"]
+    with open(p, "w") as f:
+        f.write(json.dumps(d))
+    with pytest.raises(ValueError, match="unrecorded"):
+        ManifestTable(spark, root, ["k"]).current_snapshot()
