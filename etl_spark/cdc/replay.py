@@ -184,9 +184,19 @@ class ReplayEngine:
         schema_ops: DataFrame | None = None,
         batches: list[int] | None = None,
         delete_guard: DataFrame | None = None,
+        classify: dict | None = None,
     ) -> list[dict]:
         """Apply all (or the given) batches in batch-id order; skip batches
-        already fenced into the table. Returns per-batch counter dicts."""
+        already fenced into the table. Returns per-batch counter dicts.
+
+        ``classify``: kwargs for ``etl_spark.cdc.classify.classify_events``
+        — a raw status-coded feed (no ``op`` column yet) is classified to
+        I/U/D ops feed-wide before batching (the reference's status state
+        machine, C2, runs as a pre-stage of the replay loop)."""
+        if classify is not None:
+            from etl_spark.cdc.classify import classify_events
+
+            changelog = classify_events(changelog, **classify)
         # ONE pass over the log plans every batch's offset range up front
         # (vs a min/max job per batch — fixed driver overhead matters for
         # sustained throughput)

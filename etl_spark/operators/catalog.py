@@ -19,6 +19,8 @@ from etl_spark.operators import similarity as S
 from etl_spark.operators import textstats as X
 from etl_spark.plans import config_plan as P
 from etl_spark.sources import coerce as C
+from etl_spark.sources import json_flatten as J
+from etl_spark.sources import metadata as MD
 from etl_spark.streaming import windowed as W
 
 Builder = Callable[[SparkSession, str], DataFrame]
@@ -31,6 +33,7 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "distinct_count": (R.distinct_count, R.DISTINCT_COUNT_SQL),
     "domain_completion": (R.domain_completion, R.DOMAIN_COMPLETION_SQL),
     "rollup_orders": (R.rollup_orders, R.ROLLUP_ORDERS_SQL),
+    "all_null_check": (R.all_null_check, R.ALL_NULL_CHECK_SQL),
     # --- joins ---
     "join_star_revenue": (R.join_star_revenue, R.JOIN_STAR_REVENUE_SQL),
     "join_left_with_missing": (R.join_left_with_missing, R.JOIN_LEFT_WITH_MISSING_SQL),
@@ -78,6 +81,10 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "config_driven_merge": (P.config_driven_merge, P.CONFIG_DRIVEN_MERGE_SQL),
     # --- schema inference / coercion (C13) ---
     "schema_coercion": (C.schema_coercion, C.SCHEMA_COERCION_SQL),
+    # --- metadata-driven schema source (S10) ---
+    "metadata_schema_frame": (MD.metadata_schema_frame, MD.METADATA_SCHEMA_FRAME_SQL),
+    # --- multi-level nested JSON flatten (S9) ---
+    "json_nested_flatten": (J.json_nested_flatten, J.JSON_NESTED_FLATTEN_SQL),
     # --- event-time windowed aggregation (C5, batch twin of the stream) ---
     "windowed_event_counts": (W.windowed_event_counts_batch, W.WINDOWED_EVENT_COUNTS_SQL),
 }

@@ -697,6 +697,29 @@ FROM top_o JOIN top_c USING (rk)
 """
 
 
+def all_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Any/all-null column reduction (reference A9:
+    ``src/jobs/sd_delta.py:44`` — ``df[col].isnull().all()`` gates a
+    whole processing branch). COUNT-based so both engines emit int64,
+    one partial-aggregating pass, no shuffle beyond the 1-row final."""
+    e = t(spark, sf_dir, "events")
+    return e.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("props").isNull(), 1)).alias("props_nulls"),
+        (F.count("props") == 0).alias("props_all_null"),
+        (F.count(F.when(F.col("value").isNull(), 1)) > 0).alias("value_any_null"),
+    )
+
+
+ALL_NULL_CHECK_SQL = """
+SELECT COUNT(*) AS n_rows,
+       COUNT(CASE WHEN props IS NULL THEN 1 END) AS props_nulls,
+       COUNT(props) = 0 AS props_all_null,
+       COUNT(CASE WHEN value IS NULL THEN 1 END) > 0 AS value_any_null
+FROM events
+"""
+
+
 def intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set intersection (completes the U1-U3 set-op family — the
     reference has union and except; intersect is its missing dual):
