@@ -51,15 +51,19 @@ print("RESULT " + json.dumps(r))
 """
 
 
-def run_at(cores: int, events: int, batches: int, mode: str, content_scale: int) -> dict:
+def run_at(cores: int, events: int, batches: int, mode: str, content_scale: int,
+           cpu_offset: int = 0) -> dict:
     code = _CHILD.format(repo=REPO, cores=cores, events=events, batches=batches, mode=mode, content_scale=content_scale)
     # taskset pins the WHOLE child (JVM task+GC+shuffle threads AND the
     # forked Python UDF workers) to exactly `cores` CPUs — local[N]
     # alone only caps scheduled tasks, letting the "small cluster" level
     # borrow extra cores for GC/IO/Python and deflating the measured
     # efficiency. A real N-core executor host is hard-limited; this is
-    # that limit.
-    cpu_list = f"0-{cores - 1}" if cores > 1 else "0"
+    # that limit. cpu_offset moves the pin set away from core 0, which
+    # carries IRQ/system noise on this VM (burn probes show a slow
+    # core 0: pinned 1->8 ratios measure >8x when p1 lands there) —
+    # noise that hits a 2-core pin set ~4x harder than an 8-core one.
+    cpu_list = f"{cpu_offset}-{cpu_offset + cores - 1}" if cores > 1 else str(cpu_offset)
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-c", code],
         capture_output=True,
@@ -81,6 +85,8 @@ def main() -> None:
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument("--content-scale", type=int, default=4)
+    ap.add_argument("--cpu-offset", type=int, default=0,
+                    help="first CPU of the pin set (move off core 0's IRQ noise)")
     ap.add_argument(
         "--repeats", type=int, default=2,
         help="interleaved repeats per level; best run wins (this shared "
@@ -91,8 +97,10 @@ def main() -> None:
 
     lo_runs, hi_runs = [], []
     for i in range(args.repeats):
-        lo_runs.append(run_at(args.low, args.events, args.batches, args.mode, args.content_scale))
-        hi_runs.append(run_at(args.high, args.events, args.batches, args.mode, args.content_scale))
+        lo_runs.append(run_at(args.low, args.events, args.batches, args.mode,
+                              args.content_scale, args.cpu_offset))
+        hi_runs.append(run_at(args.high, args.events, args.batches, args.mode,
+                              args.content_scale, args.cpu_offset))
         print(json.dumps({"repeat": i, "low_eps": lo_runs[-1]["events_per_sec"],
                           "high_eps": hi_runs[-1]["events_per_sec"]}), flush=True)
     lo = max(lo_runs, key=lambda r: r["events_per_sec"])

@@ -77,18 +77,24 @@ def bench_cdc_replay(
     ).write.mode("overwrite").parquet(log_path)
     changelog = spark.read.parquet(log_path)
 
-    # warm the executor-side machinery once before timing: codegen
-    # compilation and one Python UDF worker per core (a fixed per-process
-    # cost any long-running ingest pays once, not per batch — excluding
-    # it measures sustained throughput, which is the metric)
-    from pyspark.sql import functions as F
-
-    from etl_spark.functions.normalize import with_content_sha256
-
-    warm = spark.range(0, parallelism * 4, 1, parallelism).select(
-        F.concat(F.lit("warm\r\n x "), F.col("id").cast("string")).alias("content")
+    # warm the executor-side machinery once before timing: JIT/codegen
+    # for the WHOLE merge path (scan -> thin agg -> broadcast join ->
+    # Arrow UDF -> bucket write -> compaction -> resolve), plus one
+    # Python UDF worker per core. Measured ~12 s of first-batch cold cost
+    # at every parallelism level — a fixed per-process cost any
+    # long-running ingest pays once, not per batch; excluding it measures
+    # sustained throughput, which is the metric.
+    warm_log = generate_changelog(
+        spark, 50_000, seed=7, n_repos=20, paths_per_repo=50,
+        num_batches=1, parallelism=parallelism,
     )
-    with_content_sha256(warm).write.mode("overwrite").format("noop").save()
+    warm_root = os.path.join(workdir, "warmup_table")
+    warm_engine = ReplayEngine(spark, warm_root, num_buckets=max(16, parallelism), mode=mode)
+    warm_engine.replay(warm_log)
+    if mode == "mor":
+        warm_engine.compact(min_files=1)
+    warm_engine.read_state().count()
+    shutil.rmtree(warm_root, ignore_errors=True)
 
     table_root = os.path.join(workdir, f"repo_files_{mode}")
     # timed section covers replay AND final compaction: the quoted

@@ -113,7 +113,15 @@ def read_csv_repaired(
         names += [f"n/a {i + 1}" for i in range(n_columns - len(names))]
     names = [n if n else f"n/a {i + 1}" for i, n in enumerate(names)]
     ddl = ", ".join(f"`{n}` STRING" for n in names)
-    body = fixed.filter(F.col("line") != F.lit(header_line))
+    # drop ONLY the first physical line (the header), not every line that
+    # happens to be byte-identical to it: for a single-file text read,
+    # partition 0 starts at byte 0, so the header is exactly the row with
+    # monotonically_increasing_id() == 0
+    body = (
+        fixed.withColumn("__idx", F.monotonically_increasing_id())
+        .filter(F.col("__idx") != 0)
+        .drop("__idx")
+    )
     parsed = body.select(F.from_csv(F.col("line"), ddl, {"sep": sep}).alias("r")).select("r.*")
     return parsed
 

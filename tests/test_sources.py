@@ -78,6 +78,27 @@ def test_read_csv_repaired_excel_quoting_and_headers(spark, csv_dir):
     assert rows == {"0123": "Randers", "0456": "Aarhus"}
 
 
+def test_read_csv_repaired_keeps_header_lookalike_rows(spark, csv_dir):
+    """Only the first physical line is the header — a DATA line that is
+    byte-identical to it must survive the scan."""
+    p = csv_dir / "lookalike.csv"
+    p.write_text("id;navn\n1;A\nid;navn\n2;B\n")
+    df = read_csv_repaired(spark, str(p))
+    rows = sorted((r["id"], r["navn"]) for r in df.collect())
+    assert rows == [("1", "A"), ("2", "B"), ("id", "navn")]
+
+
+def test_read_csv_multifile_concat(spark, csv_dir):
+    """S6: per-file headers are skipped natively on a multi-file scan."""
+    from etl_spark.sources.csv import read_csv_multifile
+
+    (csv_dir / "part1.csv").write_text("id;v\n1;a\n2;b\n")
+    (csv_dir / "part2.csv").write_text("id;v\n3;c\n")
+    df = read_csv_multifile(spark, [str(csv_dir / "part1.csv"), str(csv_dir / "part2.csv")])
+    assert df.columns == ["id", "v"]
+    assert sorted((r["id"], r["v"]) for r in df.collect()) == [("1", "a"), ("2", "b"), ("3", "c")]
+
+
 def test_discovery_glob_and_latest(spark, tmp_path, sf_dir):
     import shutil
     import time as _t
