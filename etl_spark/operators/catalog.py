@@ -73,6 +73,7 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     # --- similarity search ---
     "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),
     "lsh_ann_buckets": (S.lsh_ann_buckets, S.LSH_ANN_SQL),
+    "lsh_ann_pairs": (S.lsh_ann_pairs, S.LSH_ANN_PAIRS_SQL),
     # --- grouped-map pandas UDF (D5) ---
     "grouped_linear_trend": (G.grouped_linear_trend, G.GROUPED_LINEAR_TREND_SQL),
     # --- multimodal binary plumbing ---
