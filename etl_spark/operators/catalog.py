@@ -74,10 +74,13 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),
     "lsh_ann_buckets": (S.lsh_ann_buckets, S.LSH_ANN_SQL),
     "lsh_ann_pairs": (S.lsh_ann_pairs, S.LSH_ANN_PAIRS_SQL),
+    "embedding_near_dup": (S.embedding_near_dup, S.EMBEDDING_NEAR_DUP_SQL),
     # --- grouped-map pandas UDF (D5) ---
     "grouped_linear_trend": (G.grouped_linear_trend, G.GROUPED_LINEAR_TREND_SQL),
     # --- multimodal binary plumbing ---
     "binary_payload_stats": (M.binary_payload_stats, M.BINARY_PAYLOAD_STATS_SQL),
+    "image_decode_resize": (M.image_decode_resize, M.IMAGE_DECODE_RESIZE_SQL),
+    "frame_sample": (M.frame_sample, M.FRAME_SAMPLE_SQL),
     # --- config-driven plans (§3.3) ---
     "config_driven_merge": (P.config_driven_merge, P.CONFIG_DRIVEN_MERGE_SQL),
     # --- schema inference / coercion (C13) ---

@@ -86,6 +86,106 @@ def decode_image_batch(payloads: pd.Series) -> pd.Series:  # pragma: no cover
     )
 
 
-def frame_sample_stub(payloads: pd.Series, every_n: int = 10) -> pd.Series:  # pragma: no cover
-    """STUB: video frame sampling — same contract as decode_image_batch."""
-    raise NotImplementedError("video frame sampling requires ffmpeg bindings")
+DECODED_IMAGE_SCHEMA = (
+    "doc_id long, height int, width int, channels int, "
+    "resized_h int, resized_w int"
+)
+
+
+def _fake_decode_batches(target: int):
+    """DETERMINISTIC FAKE decoder (the container has no media libs):
+    image dimensions are derived from the payload's sha256, so the whole
+    decode -> resize pipeline is reproducible and oracle-checkable. The
+    mapInPandas plumbing — Arrow binary batches in, typed rows out — is
+    the real production shape; only the dimension rule is fake. Resize
+    preserves aspect ratio to fit a ``target`` x ``target`` box
+    (integer floor arithmetic, identical in SQL)."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hexes = pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
+            h = hexes.map(lambda x: 16 + int(x[0:2], 16) % 48).astype("int32")
+            w = hexes.map(lambda x: 16 + int(x[2:4], 16) % 48).astype("int32")
+            c = hexes.map(lambda x: 1 + int(x[4], 16) % 3).astype("int32")
+            longest = pd.concat([h, w], axis=1).max(axis=1)
+            rh = (h * target // longest).astype("int32")
+            rw = (w * target // longest).astype("int32")
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "height": h, "width": w,
+                 "channels": c, "resized_h": rh, "resized_w": rw}
+            )
+
+    return kernel
+
+
+def image_decode_resize(spark: SparkSession, sf_dir: str, target: int = 32) -> DataFrame:
+    """Catalog entry: the decode + resize pipeline over binary payloads
+    (deterministic-fake decode, real Arrow plumbing — see
+    ``_fake_decode_batches``)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    env = with_binary_payload(d).select("doc_id", "payload")
+    return env.mapInPandas(_fake_decode_batches(target), DECODED_IMAGE_SCHEMA)
+
+
+IMAGE_DECODE_RESIZE_SQL = """
+WITH dims AS (
+  SELECT doc_id,
+         16 + CAST('0x' || substring(sha256(text), 1, 2) AS INT) % 48 AS height,
+         16 + CAST('0x' || substring(sha256(text), 3, 2) AS INT) % 48 AS width,
+         1 + CAST('0x' || substring(sha256(text), 5, 1) AS INT) % 3 AS channels
+  FROM documents
+)
+SELECT doc_id, height, width, channels,
+       CAST(FLOOR(height * 32.0 / GREATEST(height, width)) AS INT) AS resized_h,
+       CAST(FLOOR(width * 32.0 / GREATEST(height, width)) AS INT) AS resized_w
+FROM dims
+"""
+
+
+FRAME_SAMPLE_SCHEMA = "doc_id long, frame_idx int, frame_magic string"
+FRAME_BYTES = 64
+SAMPLE_EVERY = 10
+
+
+def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """1-to-N mapInPandas kernel: treat the payload as a fixed-size-frame
+    'video', emit one row per SAMPLE_EVERY-th frame with its leading
+    bytes as the frame fingerprint. Real frame decode would replace the
+    slicing with ffmpeg — the batch fan-out shape (rows out != rows in)
+    is the production contract being exercised."""
+    for pdf in batches:
+        ids, idxs, magics = [], [], []
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = len(payload) // FRAME_BYTES
+            for f in range(0, n_frames, SAMPLE_EVERY):
+                ids.append(doc_id)
+                idxs.append(f)
+                magics.append(payload[f * FRAME_BYTES : f * FRAME_BYTES + 4].hex())
+        yield pd.DataFrame(
+            {"doc_id": pd.array(ids, dtype="int64"),
+             "frame_idx": pd.array(idxs, dtype="int32"),
+             "frame_magic": magics}
+        )
+
+
+def frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Catalog entry: video-style frame sampling over binary payloads
+    (every SAMPLE_EVERY-th FRAME_BYTES-sized frame)."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    env = with_binary_payload(d).select("doc_id", "payload")
+    return env.mapInPandas(_frame_sample_batches, FRAME_SAMPLE_SCHEMA)
+
+
+FRAME_SAMPLE_SQL = f"""
+WITH frames AS (
+  -- DuckDB cannot substring a BLOB; slice its hex image instead
+  -- (1 byte = 2 hex chars)
+  SELECT doc_id, hex(encode(text)) AS payload_hex,
+         CAST(FLOOR(octet_length(encode(text)) / {FRAME_BYTES}) AS INT) AS n_frames
+  FROM documents
+)
+SELECT doc_id, CAST(u.f AS INT) AS frame_idx,
+       lower(substring(payload_hex, u.f * {FRAME_BYTES * 2} + 1, 8)) AS frame_magic
+FROM frames, UNNEST(generate_series(0, n_frames - 1, {SAMPLE_EVERY})) AS u(f)
+WHERE n_frames > 0
+"""

@@ -167,6 +167,62 @@ def lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
 
 
+# production near-dup thresholds sit at 0.9+; the synthetic embeddings
+# table is near-random (max bucket-mate cosine ~0.42 at sf0.01), so the
+# catalog instance uses a low threshold to keep the verify path
+# non-trivially exercised
+NEAR_DUP_COSINE = 0.3
+
+
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (the fifth dedup family
+    beside exact/minhash/simhash/ngram): candidate pairs are LSH bucket
+    mates (signature equality — never all-pairs), verified with exact
+    cosine >= NEAR_DUP_COSINE; emit (keep, drop) with keep = min vec_id,
+    the standard near-dup resolution rule. At 100 TB the self-join is
+    keyed on the signature and bounded per bucket, the same shape as
+    minhash_lsh_pairs."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("emb")
+    )
+    sigs = e.select("vec_id", "emb", _signature().alias("signature"))
+    a = sigs.select(
+        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "signature"
+    )
+    b = sigs.select(
+        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), F.col("signature").alias("sig_b")
+    )
+    pairs = a.join(b, (F.col("signature") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+    cos = F.round(
+        _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 6
+    )
+    return (
+        pairs.select(F.col("id_a").alias("keep_id"), F.col("id_b").alias("drop_id"), cos.alias("cosine"))
+        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+    )
+
+
+EMBEDDING_NEAR_DUP_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sigs AS (
+  SELECT vec_id, emb,
+    {" || ".join(
+        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(emb)), "
+        f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
+        f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
+        for p in range(N_PLANES)
+    )} AS signature
+  FROM e
+)
+SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
+       ROUND(list_dot_product(a.emb, b.emb) /
+             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
+FROM sigs a JOIN sigs b ON a.signature = b.signature AND a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.emb, b.emb) /
+            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {NEAR_DUP_COSINE}
+"""
+
+
 LSH_ANN_PAIRS_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sigs AS (
