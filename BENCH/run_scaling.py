@@ -63,7 +63,11 @@ def run_at(cores: int, events: int, batches: int, mode: str, content_scale: int,
     # carries IRQ/system noise on this VM (burn probes show a slow
     # core 0: pinned 1->8 ratios measure >8x when p1 lands there) —
     # noise that hits a 2-core pin set ~4x harder than an 8-core one.
-    cpu_list = f"{cpu_offset}-{cpu_offset + cores - 1}" if cores > 1 else str(cpu_offset)
+    # cpu_offset may also be a pre-computed explicit core list (str).
+    if isinstance(cpu_offset, str):
+        cpu_list = cpu_offset
+    else:
+        cpu_list = f"{cpu_offset}-{cpu_offset + cores - 1}" if cores > 1 else str(cpu_offset)
     out = subprocess.run(
         ["taskset", "-c", cpu_list, sys.executable, "-c", code],
         capture_output=True,
@@ -87,6 +91,12 @@ def main() -> None:
     ap.add_argument("--content-scale", type=int, default=4)
     ap.add_argument("--cpu-offset", type=int, default=0,
                     help="first CPU of the pin set (move off core 0's IRQ noise)")
+    ap.add_argument("--auto-pin", action="store_true",
+                    help="burn-sweep every core first and pin each level to the "
+                    "currently-fastest cores (per-core speed on this shared VM "
+                    "varies 20-40%% and shifts between minutes; low level uses "
+                    "the fastest subset of the high level's set for per-core "
+                    "fairness)")
     ap.add_argument(
         "--repeats", type=int, default=2,
         help="interleaved repeats per level; best run wins (this shared "
@@ -95,12 +105,39 @@ def main() -> None:
     )
     args = ap.parse_args()
 
+    lo_pin = hi_pin = args.cpu_offset
+    if args.auto_pin:
+        import hashlib
+        import time as _time
+
+        def _burn(cpu: int, secs: float = 1.0) -> float:
+            os.sched_setaffinity(0, {cpu})
+            buf = b"x" * 4096
+            n = 0
+            t0 = _time.monotonic()
+            while _time.monotonic() - t0 < secs:
+                for _ in range(200):
+                    buf = hashlib.sha256(buf).digest() + buf[:4064]
+                n += 200
+            return n / (_time.monotonic() - t0)
+
+        rates = {c: _burn(c) for c in range(os.cpu_count())}
+        os.sched_setaffinity(0, set(range(os.cpu_count())))
+        fastest = sorted(rates, key=lambda c: -rates[c])
+        hi_cores = sorted(fastest[: args.high])
+        lo_cores = sorted(sorted(hi_cores, key=lambda c: -rates[c])[: args.low])
+        hi_pin = ",".join(map(str, hi_cores))
+        lo_pin = ",".join(map(str, lo_cores))
+        print(json.dumps({"auto_pin": {"low": lo_pin, "high": hi_pin,
+                                       "rates_k": {c: round(rates[c] / 1000) for c in hi_cores}}}),
+              flush=True)
+
     lo_runs, hi_runs = [], []
     for i in range(args.repeats):
         lo_runs.append(run_at(args.low, args.events, args.batches, args.mode,
-                              args.content_scale, args.cpu_offset))
+                              args.content_scale, lo_pin))
         hi_runs.append(run_at(args.high, args.events, args.batches, args.mode,
-                              args.content_scale, args.cpu_offset))
+                              args.content_scale, hi_pin))
         print(json.dumps({"repeat": i, "low_eps": lo_runs[-1]["events_per_sec"],
                           "high_eps": hi_runs[-1]["events_per_sec"]}), flush=True)
     lo = max(lo_runs, key=lambda r: r["events_per_sec"])

@@ -126,6 +126,26 @@ def read_csv_repaired(
     return parsed
 
 
+def read_config_csv(spark: SparkSession, path: str, sep: str = ";") -> DataFrame:
+    """S18 config scan (``src/jobs/sd_delta.py:28-29``): a small ``;``-CSV
+    of configuration rows, every string cell whitespace-trimmed
+    (pandas ``skipinitialspace`` + ``.map(strip)`` analog). Config tables
+    are tiny by nature — broadcastable dims for the filters/joins they
+    feed."""
+    df = spark.read.option("sep", sep).option("header", True).csv(path)
+    df = df.toDF(*[c.strip() for c in df.columns])  # header cells trim too
+    return df.select(
+        *[F.trim(F.col(c)).alias(c) if typ == "string" else F.col(c) for c, typ in df.dtypes]
+    )
+
+
+def split_by_predicate(df: DataFrame, predicate: str) -> tuple[DataFrame, DataFrame]:
+    """The reference's paired ``.query(p)`` / ``.query(not p)`` split
+    (excluded institutions vs excluded departments) as one scan with two
+    filters — Catalyst shares the cached/broadcast config scan."""
+    return df.filter(F.expr(predicate)), df.filter(~F.expr(predicate))
+
+
 def read_csv_multifile(
     spark: SparkSession, paths: list[str], header: bool = True, sep: str = ";"
 ) -> DataFrame:

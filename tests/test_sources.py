@@ -99,6 +99,25 @@ def test_read_csv_multifile_concat(spark, csv_dir):
     assert sorted((r["id"], r["v"]) for r in df.collect()) == [("1", "a"), ("2", "b"), ("3", "c")]
 
 
+def test_read_config_csv_split(spark, csv_dir):
+    """S18: trimmed config scan split into two filtered frames."""
+    from etl_spark.sources.csv import read_config_csv, split_by_predicate
+
+    p = csv_dir / "excluded.csv"
+    p.write_text(
+        "InstitutionIdentifier; DepartmentIdentifier; DepartmentName\n"
+        "AB; -; \n"
+        "CD; 123 ; Teknik \n"
+        "EF;456;Kultur\n"
+    )
+    cfg = read_config_csv(spark, str(p))
+    insts, depts = split_by_predicate(cfg, "DepartmentIdentifier = '-'")
+    assert [r["InstitutionIdentifier"] for r in insts.collect()] == ["AB"]
+    got = {r["InstitutionIdentifier"]: (r["DepartmentIdentifier"], r["DepartmentName"])
+           for r in depts.collect()}
+    assert got == {"CD": ("123", "Teknik"), "EF": ("456", "Kultur")}
+
+
 def test_discovery_glob_and_latest(spark, tmp_path, sf_dir):
     import shutil
     import time as _t
