@@ -48,6 +48,11 @@ def _build_parser() -> argparse.ArgumentParser:
 
     r = sub.add_parser("replay", help="batch-replay a changelog")
     r.add_argument("--changelog", required=True, help="parquet changelog path")
+    r.add_argument(
+        "--classify-status-col",
+        help="treat the changelog as a raw status-coded feed: classify this "
+        "column to I/U/D ops (reference state-machine semantics) before replay",
+    )
     common(r)
 
     s = sub.add_parser("stream", help="structured-streaming tail of the changelog dir")
@@ -95,7 +100,12 @@ def main(argv: list[str] | None = None) -> int:
     )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
-        results = engine.replay(log)
+        classify = (
+            {"status_col": args.classify_status_col}
+            if getattr(args, "classify_status_col", None)
+            else None
+        )
+        results = engine.replay(log, classify=classify)
         print(json.dumps({"applied": [r["batch_id"] for r in results if not r.get("skipped")],
                           "skipped": [r["batch_id"] for r in results if r.get("skipped")],
                           "fence_offset": engine.fence_offset()}))

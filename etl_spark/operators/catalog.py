@@ -31,6 +31,7 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "filter_compound": (R.filter_compound, R.FILTER_COMPOUND_SQL),
     "filter_null_notin": (R.filter_null_notin, R.FILTER_NULL_NOTIN_SQL),
     "distinct_count": (R.distinct_count, R.DISTINCT_COUNT_SQL),
+    "approx_distinct_users": (R.approx_distinct_users, None),
     "domain_completion": (R.domain_completion, R.DOMAIN_COMPLETION_SQL),
     "rollup_orders": (R.rollup_orders, R.ROLLUP_ORDERS_SQL),
     "all_null_check": (R.all_null_check, R.ALL_NULL_CHECK_SQL),

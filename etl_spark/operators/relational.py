@@ -697,6 +697,20 @@ FROM top_o JOIN top_c USING (rk)
 """
 
 
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog++ approximate distinct counts per event_type — the
+    100 TB path where exact countDistinct's per-group hash sets blow
+    memory: fixed-size sketches, full map-side partial aggregation, one
+    exchange. No SQL oracle (DuckDB's approx_count_distinct uses a
+    different sketch; estimates differ by construction) — the driver
+    records a rows-only check; exactness is covered by the exact twin
+    ``distinct_count``."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.01).alias("approx_users")
+    )
+
+
 def all_null_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Any/all-null column reduction (reference A9:
     ``src/jobs/sd_delta.py:44`` — ``df[col].isnull().all()`` gates a
