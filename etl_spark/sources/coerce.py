@@ -44,8 +44,19 @@ def _try(col, typ):
     return col.try_cast(typ)
 
 
-def infer_cast_plan(df: DataFrame, columns: list[str] | None = None) -> dict[str, str]:
-    """One aggregation pass -> {column: winning_type}."""
+def infer_cast_plan(
+    df: DataFrame, columns: list[str] | None = None, sample_fraction: float | None = None
+) -> dict[str, str]:
+    """One aggregation pass -> {column: winning_type}.
+
+    ``sample_fraction``: at 100 TB a whole-column vote is a full scan
+    with 4 parse attempts per cell; a deterministic-seed sample (e.g.
+    0.001) bounds the inference pass while the WINNING cast still
+    try_casts every row (a value the sample missed degrades to null,
+    never to a wrong value — same failure mode as the reference's
+    try/except loop). Default None = exact vote (sandbox scale)."""
+    if sample_fraction is not None:
+        df = df.sample(fraction=sample_fraction, seed=42)
     cols = [c for c in (columns or df.columns) if dict(df.dtypes)[c] == "string"]
     if not cols:
         return {}
@@ -69,10 +80,12 @@ def infer_cast_plan(df: DataFrame, columns: list[str] | None = None) -> dict[str
     return plan
 
 
-def coerce_string_columns(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+def coerce_string_columns(
+    df: DataFrame, columns: list[str] | None = None, sample_fraction: float | None = None
+) -> DataFrame:
     """Apply the inferred cast plan (explicit, logged in the plan itself —
     ``df.schema`` after this call IS the coercion record)."""
-    plan = infer_cast_plan(df, columns)
+    plan = infer_cast_plan(df, columns, sample_fraction)
     out = df
     for c, typ in plan.items():
         v = _clean(c)

@@ -99,6 +99,18 @@ def test_read_csv_multifile_concat(spark, csv_dir):
     assert sorted((r["id"], r["v"]) for r in df.collect()) == [("1", "a"), ("2", "b"), ("3", "c")]
 
 
+def test_infer_cast_plan_sampled(spark):
+    """Sampled inference lands on the same plan for homogeneous columns
+    (the 100 TB bound on the voting pass)."""
+    df = spark.range(2000).select(
+        F.col("id").cast("string").alias("i"),
+        F.concat(F.col("id").cast("string"), F.lit(",5")).alias("d"),
+    )
+    exact = infer_cast_plan(df)
+    sampled = infer_cast_plan(df, sample_fraction=0.05)
+    assert exact == sampled == {"i": "bigint", "d": "double"}
+
+
 def test_read_config_csv_split(spark, csv_dir):
     """S18: trimmed config scan split into two filtered frames."""
     from etl_spark.sources.csv import read_config_csv, split_by_predicate
