@@ -164,6 +164,13 @@ class ReplayEngine:
             return resolve_state(raw).drop("_deleted")
         return raw.filter(~F.col("_deleted")).drop("_deleted")
 
+    def changes_between(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental change feed FROM the table (C1 as a table-side
+        reader): rows committed between two snapshot versions. Exact
+        row-level deltas under mor (appended winners + tombstones);
+        bucket post-images under cow — see ``ManifestTable.read_changes``."""
+        return self.table.read_changes(from_version, to_version)
+
     def compact(self, min_files: int = 2) -> list[int]:
         """Fold delta files back into one base file per bucket (resolved,
         tombstones dropped). Returns the buckets compacted."""

@@ -415,6 +415,48 @@ class ManifestTable:
         merged = survivors.unionByName(upserts)
         return self.rewrite_buckets(touched, merged, properties_update)
 
+    def added_files(self, from_version: int, to_version: int) -> dict[int, list[dict]]:
+        """File entries present in ``to_version`` but not ``from_version``
+        (Iceberg incremental-scan shape: snapshots are immutable, so the
+        diff of their manifests IS the change set)."""
+        old = self.snapshot_at(from_version)
+        new = self.snapshot_at(to_version)
+        seen = {e["path"] for es in old.files.values() for e in es}
+        out: dict[int, list[dict]] = {}
+        for b, es in new.files.items():
+            fresh = [e for e in es if e["path"] not in seen]
+            if fresh:
+                out[b] = fresh
+        return out
+
+    def read_changes(self, from_version: int, to_version: int) -> DataFrame:
+        """Incremental read: rows in files added between two snapshots,
+        projected to ``to_version``'s schema.
+
+        Under merge-on-read this is an EXACT change feed — each commit
+        appends its batch's LWW winners (upserts) and tombstones
+        (``_deleted`` rows), nothing else — so downstream consumers can
+        tail the table itself (the lake-as-changelog pattern). Under
+        copy-on-write the added files are whole rewritten buckets, so the
+        result is the post-image of every touched bucket, not row-level
+        deltas — still useful for bucket-granular incremental syncs."""
+        to_snap = self.snapshot_at(to_version)
+        target = to_snap.schema
+        groups: dict[int, list[str]] = {}
+        for es in self.added_files(from_version, to_version).values():
+            for e in es:
+                groups.setdefault(e["sv"], []).append(e["path"])
+        if not groups:
+            return self.spark.createDataFrame([], target.ddl())
+        parts = []
+        for sv, paths in sorted(groups.items()):
+            df = self.spark.read.schema(to_snap.schemas[sv].ddl()).parquet(*paths)
+            parts.append(self._map_to_schema(df, to_snap.schemas[sv], target))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot by version (time travel)."""
         path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")

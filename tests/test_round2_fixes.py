@@ -120,6 +120,65 @@ def test_double_read_wal_file_mor(spark, tmp_path, changelog, oracle_state):
     pd.testing.assert_frame_equal(engine_state(eng), oracle_state)
 
 
+def test_incremental_changes_between_snapshots(spark, tmp_path, changelog):
+    """mor change feed: files added between two snapshots are exactly the
+    batches committed in between (winners + tombstones), and replaying
+    only those deltas onto the older state reproduces the newer state."""
+    from pyspark.sql import functions as F
+
+    eng = ReplayEngine(spark, str(tmp_path / "inc"), num_buckets=4, mode="mor",
+                       compact_threshold=0)
+    eng.replay(changelog, batches=[0])
+    v0 = eng.table.current_snapshot().version
+    eng.replay(changelog, batches=[1, 2])
+    v1 = eng.table.current_snapshot().version
+
+    changes = eng.changes_between(v0, v1)
+    # exactly the winner rows of batches 1 and 2
+    assert set(r["_ingest_batch"] for r in changes.select("_ingest_batch").distinct().collect()) == {1, 2}
+    batch_keys = (
+        changelog.filter(F.col("batch_id").isin(1, 2)).select("repo", "path").distinct()
+    )
+    assert changes.select("repo", "path").distinct().count() == batch_keys.count()
+    # one winner per key per batch (LWW pre-applied in the feed)
+    assert (
+        changes.groupBy("repo", "path", "_ingest_batch").count().filter("count > 1").count() == 0
+    )
+
+
+def test_stream_replay_with_schema_ops(spark, tmp_path, changelog):
+    """Schema evolution through the STREAMING tail: ops interleaved in
+    the offset stream apply mid-stream, same end schema as batch replay."""
+    import json as _json
+
+    from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+    from etl_spark.streaming import stream_replay
+
+    ops = spark.createDataFrame(
+        [(450, "add_column", "size_bytes", _json.dumps({"type": "int"})),
+         (810, "rename_column", "lang", _json.dumps({"new_name": "language"}))],
+        SCHEMA_EVOLUTION_SCHEMA,
+    )
+    wal = str(tmp_path / "wal")
+    changelog.write.mode("overwrite").parquet(wal)
+    eng = stream_replay(
+        spark, wal, str(tmp_path / "st"), str(tmp_path / "ckpt"),
+        num_buckets=4, schema_ops=ops,
+    )
+    state = eng.read_state()
+    assert "language" in state.columns and "size_bytes" in state.columns
+    assert eng.table.current_snapshot().current_schema_version == 3
+
+    # batch twin with the same ops ends in the identical state
+    batch_eng = ReplayEngine(spark, str(tmp_path / "bt"), num_buckets=4)
+    batch_eng.replay(changelog, schema_ops=ops)
+    a = {(r["repo"], r["path"]): (r["commit"], r["language"], r["content_sha256"])
+         for r in state.collect()}
+    b = {(r["repo"], r["path"]): (r["commit"], r["language"], r["content_sha256"])
+         for r in batch_eng.read_state().collect()}
+    assert a == b
+
+
 def test_bucket_fn_mismatch_refuses_attach(spark, tmp_path):
     """ADVICE r01: snapshots record the bucket function; attaching a
     table written under a different one fails loudly instead of silently
