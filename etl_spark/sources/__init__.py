@@ -13,6 +13,8 @@ from etl_spark.sources.discovery import discover_files, latest_file  # noqa: F40
 from etl_spark.sources.coerce import coerce_string_columns  # noqa: F401
 from etl_spark.sources.xml import read_xml_rows, xml_records, flatten_element  # noqa: F401
 from etl_spark.sources.jdbc import read_query, read_table, write_table  # noqa: F401
+from etl_spark.sources.json_flatten import flatten_json_column  # noqa: F401
+from etl_spark.sources.csv import read_config_csv, read_csv_multifile, split_by_predicate  # noqa: F401
 from etl_spark.sources.paged import fetch_pages, plan_pages, read_paged  # noqa: F401
 from etl_spark.sources.metadata import (  # noqa: F401
     dataframe_from_api_payload,
