@@ -65,7 +65,11 @@ def dataframe_from_api_payload(
     the rename map normalizes verbose API labels to canonical column
     names (``src/jobindsats/jobindsats.py:42-51``)."""
     schema = schema_from_metadata(payload[variables_key])
-    df = spark.createDataFrame([tuple(r) for r in payload[data_key]], schema)
+    rows = [tuple(r) for r in payload[data_key]]
+    # API payloads are driver-local and small — one partition, not a
+    # defaultParallelism-wide fan-out of near-empty python tasks
+    n_slices = max(1, min(8, len(rows) // 10_000))
+    df = spark.createDataFrame(spark.sparkContext.parallelize(rows, n_slices), schema)
     if rename_map:
         df = df.withColumnsRenamed(rename_map)
     return df
