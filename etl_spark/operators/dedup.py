@@ -96,7 +96,14 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     Candidates come from a document-frequency-capped shingle inverted
     index (a pair must share at least one shingle with df <= MAX_DF);
     Jaccard itself is exact over the FULL shingle sets via
-    array_intersect/array_union on the candidates only."""
+    array_intersect/array_union on the candidates only.
+
+    Coverage note (no silent caps): the df cap can only miss a pair
+    whose EVERY shared shingle is frequent — near-identical boilerplate
+    documents. Operationally, log the cap's reach with
+    ``inv.groupBy("g").count().filter(F.col("count") > MAX_DF).count()``
+    (dropped-shingle count) next to the candidate count; the identical
+    rule runs in the oracle, so the cap never diverges the two engines."""
     d = t(spark, sf_dir, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
     d = d.filter(F.size("sh") > 0).cache()
     inv = d.select("doc_id", F.explode("sh").alias("g"))
