@@ -16,6 +16,7 @@ Subcommands:
     stream     tail the changelog dir via Structured Streaming (availableNow)
     generate   write a deterministic synthetic changelog (testing/benching)
     compact    fold merge-on-read delta files into per-bucket bases
+    expire     expire old snapshots + vacuum orphaned data directories
     state      print row count + a sample of the resolved table state
     metrics    print per-batch ingest metrics
 """
@@ -62,6 +63,10 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="compact merge-on-read deltas")
     common(c)
+
+    e = sub.add_parser("expire", help="expire old snapshots + vacuum orphaned data dirs")
+    e.add_argument("--keep-last", type=int, default=5)
+    common(e)
 
     st = sub.add_parser("state", help="resolved table state summary")
     common(st)
@@ -121,6 +126,8 @@ def main(argv: list[str] | None = None) -> int:
                           "applied_batches": engine.applied_batches()}))
     elif args.cmd == "compact":
         print(json.dumps({"compacted_buckets": engine.compact(min_files=2)}))
+    elif args.cmd == "expire":
+        print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":
         state = engine.read_state()
         print(json.dumps({"rows": state.count(), "columns": state.columns}))

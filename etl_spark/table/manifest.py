@@ -484,6 +484,52 @@ class ManifestTable:
         self._commit(new)
         return new
 
+    # ---------- maintenance ----------
+
+    def expire_snapshots(self, keep_last: int = 5) -> dict:
+        """Iceberg-style snapshot expiry + orphan-data vacuum: keep the
+        newest ``keep_last`` snapshots (time travel preserved for them),
+        delete older snapshot manifests, then remove every data write
+        directory referenced by NO surviving snapshot.
+
+        At 10^10-event scale every commit adds files and nothing else
+        removes them — without expiry, storage grows without bound.
+        Deletion is metadata-driven (manifest diff, no directory
+        listing race): a write dir is live iff some surviving snapshot
+        references a path under it. The current snapshot is always
+        kept. Returns {"expired": [versions], "deleted_dirs": n}."""
+        import shutil
+
+        names = sorted(
+            n for n in os.listdir(self._snap_dir)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+        versions = [int(n[len("snapshot-"):-len(".json")]) for n in names]
+        cur = self.current_snapshot().version
+        keep = set(sorted(versions)[-keep_last:]) | {cur}
+        expired = [v for v in versions if v not in keep]
+
+        live_dirs: set[str] = set()
+        for v in sorted(keep):
+            snap = self.snapshot_at(v)
+            for es in snap.files.values():
+                for e in es:
+                    # entries point at bucket subdirs: <write_dir>/__bucket=N
+                    live_dirs.add(os.path.dirname(e["path"].rstrip("/")))
+
+        deleted = 0
+        for entry in os.listdir(self._data_dir):
+            full = os.path.join(self._data_dir, entry)
+            if os.path.isdir(full) and full not in live_dirs:
+                shutil.rmtree(full, ignore_errors=True)
+                deleted += 1
+        for v in expired:
+            try:
+                os.remove(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json"))
+            except FileNotFoundError:
+                pass
+        return {"expired": expired, "deleted_dirs": deleted}
+
     # ---------- schema evolution (metadata-only, files untouched) ----------
 
     def _evolve(self, mutate, properties_update: dict | None = None) -> Snapshot:

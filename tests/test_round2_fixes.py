@@ -179,6 +179,34 @@ def test_stream_replay_with_schema_ops(spark, tmp_path, changelog):
     assert a == b
 
 
+def test_expire_snapshots_vacuums_orphans(spark, tmp_path, changelog, oracle_state):
+    """Snapshot expiry keeps the table readable and time travel for
+    survivors, deletes orphaned data dirs, and preserves the fence
+    bookkeeping (resume still refuses re-applied batches)."""
+    import os
+
+    eng = ReplayEngine(spark, str(tmp_path / "vac"), num_buckets=4)
+    eng.replay(changelog)  # 3 batches -> several snapshots
+    data_dir = str(tmp_path / "vac" / "data")
+    dirs_before = len(os.listdir(data_dir))
+    v_cur = eng.table.current_snapshot().version
+
+    out = eng.table.expire_snapshots(keep_last=1)
+    assert out["expired"] and out["deleted_dirs"] > 0
+    assert len(os.listdir(data_dir)) < dirs_before
+
+    # current state intact, byte for byte
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(engine_state(eng), oracle_state)
+    # expired versions no longer time-travelable
+    with pytest.raises(FileNotFoundError):
+        eng.table.snapshot_at(out["expired"][0])
+    # survivor still readable; fence survives -> duplicate batch is a no-op
+    assert eng.table.snapshot_at(v_cur).version == v_cur
+    assert eng.apply_batch(changelog, 0)["skipped"]
+
+
 def test_bucket_fn_mismatch_refuses_attach(spark, tmp_path):
     """ADVICE r01: snapshots record the bucket function; attaching a
     table written under a different one fails loudly instead of silently
