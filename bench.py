@@ -57,8 +57,10 @@ def _force(df) -> int:
 
 
 def bench_cdc_replay(
-    spark, n_events: int, num_batches: int, workdir: str, mode: str, content_scale: int = 1
+    spark, n_events: int, num_batches: int, workdir: str, mode: str, content_scale: int = 1,
+    lww_strategy: str | None = None,
 ) -> dict:
+    lww_strategy = lww_strategy or os.environ.get("ETL_SPARK_BENCH_LWW", "broadcast")
     from etl_spark.cdc.changelog import generate_changelog
     from etl_spark.cdc.replay import ReplayEngine
 
@@ -89,7 +91,9 @@ def bench_cdc_replay(
         num_batches=1, parallelism=parallelism,
     )
     warm_root = os.path.join(workdir, "warmup_table")
-    warm_engine = ReplayEngine(spark, warm_root, num_buckets=max(16, parallelism), mode=mode)
+    warm_engine = ReplayEngine(
+        spark, warm_root, num_buckets=max(16, parallelism), mode=mode, lww_strategy=lww_strategy
+    )
     warm_engine.replay(warm_log)
     if mode == "mor":
         warm_engine.compact(min_files=1)
@@ -100,7 +104,9 @@ def bench_cdc_replay(
     # timed section covers replay AND final compaction: the quoted
     # throughput lands the log in fully-materialized final state
     t0 = time.monotonic()
-    engine = ReplayEngine(spark, table_root, num_buckets=max(16, parallelism), mode=mode)
+    engine = ReplayEngine(
+        spark, table_root, num_buckets=max(16, parallelism), mode=mode, lww_strategy=lww_strategy
+    )
     results = engine.replay(changelog)
     if mode == "mor":
         engine.compact(min_files=2)
@@ -108,6 +114,7 @@ def bench_cdc_replay(
     final_rows = engine.read_state().count()
     return {
         "mode": mode,
+        "lww_strategy": lww_strategy,
         "events": n_events,
         "batches": num_batches,
         "wall_sec": round(wall, 3),

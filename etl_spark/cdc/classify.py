@@ -13,10 +13,19 @@ maps an employment-status code to an action with precedence:
 
 Re-expressed set-based: the per-key ``has_active`` flag is a window-free
 max over a thin projection (same skew-safe shape as the LWW kernel),
-broadcast back, and the op column is a single ``F.when`` chain — no
+joined back, and the op column is a single ``F.when`` chain — no
 driver loop over employees, no per-row Python. Output rows carry
 ``op`` in CHANGE_LOG_SCHEMA terms (I/U/D), ready for
 ``ReplayEngine.replay`` (wired via its ``classify`` argument).
+
+Scale note: neither join carries an explicit ``F.broadcast`` hint.
+``has_active`` has one row per distinct key in the feed and
+``existing_keys`` one row per live key in the TABLE — both grow without
+bound at 10^10-event scale, so a hard broadcast hint would OOM the
+driver long before merge's ``broadcast_key_budget`` guard ever runs.
+A plain equi-join lets AQE broadcast automatically when the side is
+actually small and fall back to a shuffle join when it is not — the
+same auto-degrade policy ``merge_batch`` implements explicitly.
 """
 
 from __future__ import annotations
@@ -58,22 +67,36 @@ def classify_events(
     s = F.col(status_col)
 
     # per-key has_active: thin max over (keys, active?) — map-side
-    # combine makes hot keys cheap, broadcast keeps content unshuffled
+    # combine makes hot keys cheap. No broadcast hint: the frame is one
+    # row per distinct key (unbounded at scale); AQE broadcasts it
+    # automatically when small, shuffle-joins when not.
     has_active = (
         df.select(*keys, s.isin(actives).cast("int").alias("__a"))
         .groupBy(*keys)
         .agg(F.max("__a").alias("__has_active"))
     )
-    out = df.join(F.broadcast(has_active), on=keys, how="left")
-    out = out.filter(
-        ~(s.isin(terminals) & (F.col("__has_active") == 1) & ~s.isin(dels))
+    out = df.join(has_active, on=keys, how="left")
+    # null-safe suppression: a NULL status makes s.isin(...) NULL, and a
+    # NULL predicate would silently DROP the row on active keys while
+    # keeping it on inactive ones. The reference explicitly tolerates
+    # None status codes (src/sd_delta.py:14 maps None -> update), so
+    # coalesce every isin to False: null-status rows are never suppressed
+    # and classify as plain upserts everywhere.
+    suppress = (
+        F.coalesce(s.isin(terminals), F.lit(False))
+        & (F.col("__has_active") == 1)
+        & ~F.coalesce(s.isin(dels), F.lit(False))
     )
+    out = out.filter(~suppress)
 
     if existing_keys is not None:
+        # existing_keys is TABLE-sized (every live key) — never hint a
+        # broadcast; the left join shuffles on the same key columns the
+        # table is bucketed by, so at scale the exchange is layout-aligned
         present = existing_keys.select(*keys).dropDuplicates().withColumn(
             "__present", F.lit(True)
         )
-        out = out.join(F.broadcast(present), on=keys, how="left")
+        out = out.join(present, on=keys, how="left")
         upsert_op = F.when(F.col("__present").isNotNull(), "U").otherwise("I")
     else:
         upsert_op = F.lit("U")

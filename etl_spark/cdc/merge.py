@@ -9,8 +9,10 @@ existing rows carry their own (commit, _ingest_offset) order):
 3. one LWW window over the union picks the globally-latest version per
    key — a late-arriving event older than the stored row loses, exactly
    as ``MERGE ... WHEN MATCHED AND s.order > t.order`` would decide,
-4. drop rows whose winner is a tombstone (conditional delete,
-   reference analog ``src/sd_delta.py:57-72``),
+4. winners that are tombstones stay as ``_deleted`` rows (reads filter
+   them; their order must outlive the commit so out-of-order stragglers
+   can't resurrect a deleted key — conditional delete semantics are the
+   delete_guard, reference analog ``src/sd_delta.py:57-72``),
 5. rewrite the touched buckets + commit atomically with the fence
    properties (exactly-once; reference analog: skip-if-already-applied,
    ``src/byggesager/byggesager.py:191-197``).
@@ -22,6 +24,9 @@ planner plus AQE skew handling (see ``etl_spark.cdc.replay``).
 """
 
 from __future__ import annotations
+
+import threading
+import time
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -41,10 +46,18 @@ LINEAGE_COLS = ["_ingest_offset", "_ingest_batch"]
 BROADCAST_KEY_BUDGET = 20_000_000
 
 
-def resolve_state(raw: DataFrame, lww_strategy: str = "agg") -> DataFrame:
+def resolve_state(
+    raw: DataFrame,
+    lww_strategy: str = "agg",
+    key_columns: list[str] | None = None,
+    keep_tombstones: bool = False,
+) -> DataFrame:
     """Merge-on-read resolution: one LWW winner per key over base+delta
-    rows, tombstones dropped. Identical rule to the cow merge, so both
-    modes replay a log to the exact same final state.
+    rows, tombstones dropped (``keep_tombstones=True`` keeps the winning
+    tombstone rows — the compaction path, which must preserve delete
+    ORDER so an out-of-order event arriving after compaction still loses
+    to the delete). Identical rule to the cow merge, so both modes
+    replay a log to the exact same final state.
 
     Default strategy is the hash aggregation, NOT broadcast, because the
     read/compaction winner set equals the table's total live keys — it
@@ -54,8 +67,153 @@ def resolve_state(raw: DataFrame, lww_strategy: str = "agg") -> DataFrame:
     WAL file appended twice under mor): it picks exactly one row per key
     even on order ties, where a broadcast equality join would return both."""
     pick = lww_winners_broadcast if lww_strategy == "broadcast" else lww_winners
-    resolved = pick(raw, order_columns=["commit", "_ingest_offset"])
+    resolved = pick(raw, key_columns=key_columns, order_columns=["commit", "_ingest_offset"])
+    if keep_tombstones:
+        return resolved
     return resolved.filter(~F.col("_deleted"))
+
+
+# --------------------------------------------------------------- plan pieces
+def _demote_guarded(batch_events: DataFrame, keys: list[str], delete_guard: DataFrame) -> DataFrame:
+    """Reference C3 conditional delete (``src/sd_delta.py:57-72``): a D
+    event on a guarded key is demoted to a no-op pre-LWW (broadcast: the
+    guard is a key list, always small relative to the batch)."""
+    guard = F.broadcast(
+        delete_guard.select(*keys).dropDuplicates().withColumn("__guarded", F.lit(True))
+    )
+    return (
+        batch_events.join(guard, on=keys, how="left")
+        .filter(~((F.col("op") == "D") & F.col("__guarded").isNotNull()))
+        .drop("__guarded")
+    )
+
+
+def _thin_maxes(batch_events: DataFrame, keys: list[str]) -> DataFrame:
+    """THIN winner aggregate: keys + max (commit, offset, op) + event
+    count. Parquet never reads content for it; `op` rides INSIDE the
+    order struct (it can never flip the max: offset is unique per key),
+    so this one tiny aggregate yields the winner offsets AND every
+    stats/lineage counter."""
+    order_op = F.struct(F.col("commit"), F.col("offset"), F.col("op")).alias("__ord")
+    return (
+        batch_events.select(*keys, order_op)
+        .groupBy(*keys)
+        .agg(F.max("__ord").alias("__ord"), F.count(F.lit(1)).alias("__n"))
+    )
+
+
+def _bucket_rollup(maxes: DataFrame, keys: list[str], num_buckets: int) -> DataFrame:
+    """Per-bucket (= per key-partition) lineage from the thin aggregate:
+    one row per bucket with key/event/delete counts (north_rule:
+    per-partition lineage + ingest metrics)."""
+    return maxes.groupBy(bucket_expr(keys, num_buckets).alias("bucket")).agg(
+        F.count(F.lit(1)).alias("keys"),
+        F.sum("__n").alias("events"),
+        F.sum((F.col("__ord.op") == "D").cast("long")).alias("deletes"),
+    )
+
+
+def _schema_projection(winners: DataFrame, snap: Snapshot, batch_id: int) -> DataFrame:
+    """Project winner events to the current table schema. Rename-aware: a
+    column renamed on the table (e.g. lang -> language) still arrives
+    from the wire under its original name, so we resolve by column id
+    back to the v1 (wire) name. Added columns the events don't carry get
+    their schema default; widened types are cast up."""
+    v1_names = {c.id: c.name for c in snap.schemas[1].columns}
+    event_cols = set(winners.columns)
+    computed = {"content_sha256", "_ingest_offset", "_ingest_batch", "_deleted"}
+    proj = []
+    for c in snap.schema.columns:
+        if c.name in computed:
+            continue
+        wire = v1_names.get(c.id)
+        if wire in event_cols:
+            proj.append(F.col(wire).cast(c.type).alias(c.name))
+        else:
+            proj.append(F.lit(c.default).cast(c.type).alias(c.name))
+    return winners.select(
+        *proj,
+        F.col("op").alias("__op"),
+        F.col("offset").alias("_ingest_offset"),
+        F.lit(batch_id).cast("int").alias("_ingest_batch"),
+    )
+
+
+def plan_mor_batch(
+    snap: Snapshot,
+    keys: list[str],
+    batch_events: DataFrame,
+    batch_id: int,
+    lww_strategy: str = "broadcast",
+    broadcast_key_budget: int = BROADCAST_KEY_BUDGET,
+    events_upper_bound: int | None = None,
+    delete_guard: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, str]:
+    """Pure plan construction for one merge-on-read batch — NO Spark jobs
+    run here. Returns ``(delta_plan, per_bucket_stats_plan, lww_path)``:
+    the delta frame ready for ``write_delta_files`` (winners as rows,
+    deletes as ``_deleted`` tombstones) and the independent thin
+    stats/lineage rollup the caller collects concurrently.
+
+    Winner kernel choice needs no gating job: distinct keys <= events,
+    so ``events_upper_bound`` (known arithmetically from the batch's
+    offset range) under the broadcast budget proves the winner-offset
+    broadcast is safe; over budget or unknown, the fused map-side-
+    combined hash aggregation resolves winners with no key count at all
+    — its exchange doubles as the bucket write exchange when
+    shuffle.partitions == num_buckets."""
+    if delete_guard is not None:
+        batch_events = _demote_guarded(batch_events, keys, delete_guard)
+    maxes_plan = _thin_maxes(batch_events, keys)
+    per_bucket_plan = _bucket_rollup(maxes_plan, keys, snap.num_buckets)
+
+    broadcast_safe = (
+        lww_strategy == "broadcast"
+        and events_upper_bound is not None
+        and events_upper_bound <= broadcast_key_budget
+    )
+    if broadcast_safe:
+        # the winning OFFSET alone identifies the winning event (WAL
+        # offsets are globally unique; the fence keeps re-deliveries out
+        # of the batch; a malformed double-delivered batch would append
+        # duplicate winners — harmless, because resolve_state's max_by
+        # collapses exact duplicates on read), so the broadcast is one
+        # long per key — ~8 B/row, a LongHashedRelation built inside the
+        # write job's own broadcast stage (no separate gating job)
+        lww_path = "broadcast-async"
+        winner_offsets = maxes_plan.select(F.col("__ord.offset").alias("__w_offset"))
+        winners = batch_events.join(
+            F.broadcast(winner_offsets), on=F.col("offset") == F.col("__w_offset")
+        ).select(*batch_events.columns)
+    else:
+        # FUSED hash-agg kernel: max_by over full rows — map-side
+        # combined, so a hot repo collapses before the shuffle — feeds
+        # the bucket write directly; safe at any batch size
+        lww_path = "agg-fused" if lww_strategy != "broadcast" else "agg-fallback"
+        winners = lww_winners(batch_events, key_columns=keys)
+
+    source = _schema_projection(winners, snap, batch_id)
+    delta = source.withColumn("_deleted", F.col("__op") == "D").drop("__op")
+    return delta, per_bucket_plan, lww_path
+
+
+def _stats_from_rows(per_bucket: list) -> dict:
+    stats = {
+        "keys": sum(r["keys"] for r in per_bucket),
+        "events": sum(r["events"] for r in per_bucket),
+        "dels": sum(r["deletes"] for r in per_bucket),
+    }
+    stats["ups"] = stats["keys"] - stats["dels"]
+    stats["buckets"] = [r["bucket"] for r in per_bucket]
+    return stats
+
+
+def _bucket_counters(per_bucket: list) -> list[dict]:
+    return [
+        {"bucket": int(r["bucket"]), "keys": int(r["keys"]),
+         "events": int(r["events"]), "deletes": int(r["deletes"])}
+        for r in per_bucket
+    ]
 
 
 def merge_batch(
@@ -67,6 +225,7 @@ def merge_batch(
     lww_strategy: str = "broadcast",
     delete_guard: DataFrame | None = None,
     broadcast_key_budget: int = BROADCAST_KEY_BUDGET,
+    events_upper_bound: int | None = None,
 ) -> tuple[Snapshot, dict]:
     """Apply one micro-batch of change events. Returns (snapshot, counters).
 
@@ -87,162 +246,153 @@ def merge_batch(
     ``src/sd_delta.py:57-72`` deletes an employment only if the person
     is confirmed gone AND nothing depends on it). A guarded D event is
     demoted to a no-op: the key's stored row survives untouched.
+
+    ``events_upper_bound``: a cheap upper bound on this batch's event
+    count (the replay loop knows it arithmetically from the batch's
+    offset range — no job). Under mor it replaces the gating stats job
+    for the broadcast-budget decision: distinct keys <= events, so a
+    bound under the budget proves the winner broadcast is safe and the
+    per-bucket stats/lineage aggregation moves OFF the critical path
+    onto a concurrent thread (the stats pre-job measured ~1 s of SERIAL
+    per-batch cost at 8 cores — the dominant term in N->4N scaling
+    efficiency). Without a bound (None), mor conservatively uses the
+    fused hash-agg kernel, which needs no key count at all.
     """
+    t_start = time.monotonic()
     snap = table.current_snapshot()
     keys = table.key_columns
 
-    if delete_guard is not None:
-        # demote guarded D events to no-ops pre-LWW (broadcast: the
-        # guard is a key list, always small relative to the batch)
-        guard = F.broadcast(
-            delete_guard.select(*keys).dropDuplicates().withColumn("__guarded", F.lit(True))
-        )
-        batch_events = (
-            batch_events.join(guard, on=keys, how="left")
-            .filter(~((F.col("op") == "D") & F.col("__guarded").isNotNull()))
-            .drop("__guarded")
-        )
-
-    # One winner per key. Strategy "broadcast" (default): a THIN
-    # projection (keys + order + op — parquet never reads content for
-    # it) aggregates the max order per key; `op` rides INSIDE the order
-    # struct (it can never flip the max: offset is unique per key), so
-    # the same tiny aggregate yields every counter. The full-content
-    # pass then happens exactly once: scan -> broadcast-join the winner
-    # list -> fingerprint -> bucket shuffle -> write. Content is never
-    # cached and never shuffled at full batch width — measured to be the
-    # difference between GC-bound and CPU-bound at high parallelism.
-    if lww_strategy == "broadcast":
-        order_op = F.struct(F.col("commit"), F.col("offset"), F.col("op")).alias("__ord")
-        maxes = (
-            batch_events.select(*keys, order_op)
-            .groupBy(*keys)
-            .agg(F.max("__ord").alias("__ord"), F.count(F.lit(1)).alias("__n"))
-            .cache()  # thin: one ~60 B row per distinct key
-        )
-        # per-bucket (= per key-partition) lineage rides out of the SAME
-        # tiny cached aggregate: one row per bucket with key/event/delete
-        # counts (north_rule: per-partition lineage + ingest metrics)
-        per_bucket = (
-            maxes.groupBy(bucket_expr(keys, snap.num_buckets).alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("keys"),
-                F.sum("__n").alias("events"),
-                F.sum((F.col("__ord.op") == "D").cast("long")).alias("deletes"),
-            )
-            .collect()
-        )
-        stats = {
-            "keys": sum(r["keys"] for r in per_bucket),
-            "events": sum(r["events"] for r in per_bucket),
-            "dels": sum(r["deletes"] for r in per_bucket),
-        }
-        stats["ups"] = stats["keys"] - stats["dels"]
-        stats["buckets"] = [r["bucket"] for r in per_bucket]
-        if stats["keys"] > broadcast_key_budget:
-            # automatic degrade (docstring promise, VERDICT r01 #5): a
-            # batch with more distinct keys than the driver's broadcast
-            # budget falls back to the hash-agg winner kernel instead of
-            # OOMing the broadcast. The thin aggregate above still paid
-            # for stats/lineage either way.
-            stats["lww_path"] = "agg-fallback"
-            winners = lww_winners(batch_events)
-        else:
-            # the winning OFFSET alone identifies the winning event (WAL
-            # offsets are globally unique and the fence keeps re-deliveries
-            # out of the batch; under mor, a malformed double-delivered
-            # batch would append duplicate winners — harmless, because
-            # resolve_state's max_by collapses exact duplicates on read),
-            # so the broadcast is just one long per key — ~8 B/row, a
-            # LongHashedRelation the driver builds in tens of ms where
-            # broadcasting keys+commits took seconds of serial time
-            stats["lww_path"] = "broadcast"
-            winner_offsets = maxes.select(F.col("__ord.offset").alias("__w_offset"))
-            winners = batch_events.join(
-                F.broadcast(winner_offsets), on=F.col("offset") == F.col("__w_offset")
-            ).select(*batch_events.columns)
-        thin_cache = maxes
-    else:
-        cached = lww_winners(batch_events, count_col="__n_events").cache()
-        per_bucket = (
-            cached.groupBy(bucket_expr(keys, snap.num_buckets).alias("bucket"))
-            .agg(
-                F.count(F.lit(1)).alias("keys"),
-                F.sum("__n_events").alias("events"),
-                F.sum((F.col("op") == "D").cast("long")).alias("deletes"),
-            )
-            .collect()
-        )
-        stats = {
-            "keys": sum(r["keys"] for r in per_bucket),
-            "events": sum(r["events"] for r in per_bucket),
-            "dels": sum(r["deletes"] for r in per_bucket),
-        }
-        stats["ups"] = stats["keys"] - stats["dels"]
-        stats["buckets"] = [r["bucket"] for r in per_bucket]
-        stats["lww_path"] = "agg"
-        winners = cached.drop("__n_events")
-        thin_cache = cached
-    n_keys, n_events = stats["keys"], stats["events"]
-    touched = sorted(stats["buckets"])
-
-    # Project events to the current table schema. Rename-aware: a column
-    # renamed on the table (e.g. lang -> language) still arrives from the
-    # wire under its original name, so we resolve by column id back to the
-    # v1 (wire) name. Added columns the events don't carry get their
-    # schema default; widened types are cast up.
-    v1_names = {c.id: c.name for c in snap.schemas[1].columns}
-    event_cols = set(batch_events.columns)
-    computed = {"content_sha256", "_ingest_offset", "_ingest_batch", "_deleted"}
-    proj = []
-    for c in snap.schema.columns:
-        if c.name in computed:
-            continue
-        wire = v1_names.get(c.id)
-        if wire in event_cols:
-            proj.append(F.col(wire).cast(c.type).alias(c.name))
-        else:
-            proj.append(F.lit(c.default).cast(c.type).alias(c.name))
-    source = winners.select(
-        *proj,
-        F.col("op").alias("__op"),
-        F.col("offset").alias("_ingest_offset"),
-        F.lit(batch_id).cast("int").alias("_ingest_batch"),
-    )
     if mode == "mor":
+        # Stats/lineage move OFF the critical path: an independent tiny
+        # job on a second thread overlaps the write instead of gating
+        # it. Nothing in the mor write needs the stats: the bucket set
+        # falls out of the append itself, and the broadcast-budget
+        # decision uses events_upper_bound (keys <= events).
+        t_plan = time.monotonic()
+        delta, per_bucket_plan, lww_path = plan_mor_batch(
+            snap, keys, batch_events, batch_id,
+            lww_strategy=lww_strategy,
+            broadcast_key_budget=broadcast_key_budget,
+            events_upper_bound=events_upper_bound,
+            delete_guard=delete_guard,
+        )
+        stats_holder: dict = {}
+
+        def _collect_stats() -> None:
+            try:
+                stats_holder["rows"] = per_bucket_plan.collect()
+            except BaseException as e:  # re-raised on join below
+                stats_holder["err"] = e
+
+        stats_thread = threading.Thread(target=_collect_stats, daemon=True)
+        stats_thread.start()
+        t_stats = time.monotonic()
+
         # append winners as deltas (deletes ride along as tombstones);
         # nothing is read, nothing is rewritten — one bucket-aligned
         # shuffle + write per batch. The normalize+sha256 pandas_udf runs
         # as the writer's post_shuffle hook: AFTER the bucket exchange,
-        # at full write parallelism (upstream, AQE may have coalesced the
-        # LWW aggregation down to a couple of partitions — running the
-        # UDF there would serialize the most expensive per-row work).
-        delta = source.withColumn("_deleted", F.col("__op") == "D").drop("__op")
-        new_snap = table.append_buckets(
-            delta, properties_update, post_shuffle=with_content_sha256
-        )
+        # at full write parallelism.
+        sess = batch_events.sparkSession
+        old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # fused path: make the winners agg's exchange BE the bucket
+            # exchange — with shuffle.partitions == num_buckets the
+            # explicit repartition in the writer is redundant and
+            # eliminated, so content is shuffled once
+            sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+            new_snap = table.append_buckets(
+                delta, properties_update, post_shuffle=with_content_sha256
+            )
+        finally:
+            sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+        t_written = time.monotonic()
+
+        stats_thread.join()
+        if "err" in stats_holder:
+            raise stats_holder["err"]
+        per_bucket = stats_holder["rows"]
+        stats = _stats_from_rows(per_bucket)
+        t_joined = time.monotonic()
+        counters = {
+            "rows_in": stats["events"], "distinct_keys": stats["keys"],
+            "upserts": stats["ups"], "deletes": stats["dels"],
+            "lww_path": lww_path,
+            # phase breakdown for serial-overhead profiling: "plan" =
+            # driver-side frame construction, "write" = winner resolve +
+            # bucket exchange + UDF + parquet + commit, "stats_wait" =
+            # residual wait on the concurrent stats job
+            "timings_ms": {
+                "plan": int((t_plan - t_start) * 1000),
+                "stats": int((t_stats - t_plan) * 1000),
+                "write": int((t_written - t_stats) * 1000),
+                "stats_wait": int((t_joined - t_written) * 1000),
+            },
+            "per_bucket": _bucket_counters(per_bucket),
+        }
+        return new_snap, counters
+
+    # ---------------- cow: stats gate the touched-bucket read ----------------
+    if delete_guard is not None:
+        batch_events = _demote_guarded(batch_events, keys, delete_guard)
+    t_plan = time.monotonic()
+    maxes = _thin_maxes(batch_events, keys).cache()  # thin: ~60 B/distinct key
+    per_bucket = _bucket_rollup(maxes, keys, snap.num_buckets).collect()
+    stats = _stats_from_rows(per_bucket)
+    t_stats = time.monotonic()
+    if lww_strategy == "broadcast" and stats["keys"] <= broadcast_key_budget:
+        stats["lww_path"] = "broadcast"
+        winner_offsets = maxes.select(F.col("__ord.offset").alias("__w_offset"))
+        winners = batch_events.join(
+            F.broadcast(winner_offsets), on=F.col("offset") == F.col("__w_offset")
+        ).select(*batch_events.columns)
     else:
-        # fingerprint new rows before the union (stored rows carry theirs)
-        source = with_content_sha256(source)
-        existing = (
-            table.read(buckets=touched, snapshot=snap)
-            .withColumn("__op", F.lit(None).cast("string"))
-        )
-        src = source.withColumn("_deleted", F.lit(False))
-        unioned = existing.unionByName(src.select(*existing.columns))
-        # tiebreak __op desc_nulls_last: a redelivered identical event (same
-        # commit+offset as the stored row) deterministically resolves to the
-        # incoming copy — same bytes either way, but the plan stays stable
-        resolved = lww_winners(unioned, order_columns=["commit", "_ingest_offset"], tiebreak="__op")
-        survivors = resolved.filter((F.col("__op").isNull()) | (F.col("__op") != "D")).drop("__op")
-        new_snap = table.rewrite_buckets(touched, survivors, properties_update)
-    counters = {"rows_in": n_events, "distinct_keys": n_keys,
-                "upserts": stats["ups"], "deletes": stats["dels"],
-                "lww_path": stats["lww_path"],
-                "per_bucket": [
-                    {"bucket": int(r["bucket"]), "keys": int(r["keys"]),
-                     "events": int(r["events"]), "deletes": int(r["deletes"])}
-                    for r in per_bucket
-                ]}
-    thin_cache.unpersist()
+        # automatic degrade (docstring promise, VERDICT r01 #5): a batch
+        # with more distinct keys than the driver's broadcast budget
+        # falls back to the hash-agg winner kernel instead of OOMing the
+        # broadcast. The thin aggregate above still paid for
+        # stats/lineage either way. Winners resolve by the TABLE's key
+        # columns — a table keyed on other columns must not fall back to
+        # the module default.
+        stats["lww_path"] = "agg-fallback" if lww_strategy == "broadcast" else "agg"
+        winners = lww_winners(batch_events, key_columns=keys)
+    touched = sorted(stats["buckets"])
+
+    # fingerprint new rows before the union (stored rows carry theirs)
+    source = with_content_sha256(_schema_projection(winners, snap, batch_id))
+    existing = (
+        table.read(buckets=touched, snapshot=snap)
+        .withColumn("__op", F.lit(None).cast("string"))
+    )
+    src = source.withColumn("_deleted", F.col("__op") == "D")
+    unioned = existing.unionByName(src.select(*existing.columns))
+    # tiebreak __op desc_nulls_last: a redelivered identical event (same
+    # commit+offset as the stored row) deterministically resolves to the
+    # incoming copy — same bytes either way, but the plan stays stable
+    resolved = lww_winners(
+        unioned, key_columns=keys, order_columns=["commit", "_ingest_offset"], tiebreak="__op"
+    )
+    # Winning tombstones are KEPT as _deleted rows (reads filter them
+    # out), not physically dropped: the delete's (commit, offset) order
+    # must survive the commit, or an out-of-order event in a LATER batch
+    # carrying an OLDER commit would resurrect the key — cow and mor
+    # both match the global-log oracle under arbitrary cross-batch
+    # commit disorder. Tombstones age out via compaction's commit
+    # watermark (see ReplayEngine.compact).
+    survivors = resolved.drop("__op")
+    new_snap = table.rewrite_buckets(touched, survivors, properties_update)
+    t_written = time.monotonic()
+    counters = {
+        "rows_in": stats["events"], "distinct_keys": stats["keys"],
+        "upserts": stats["ups"], "deletes": stats["dels"],
+        "lww_path": stats["lww_path"],
+        "timings_ms": {
+            "plan": int((t_plan - t_start) * 1000),
+            "stats": int((t_stats - t_plan) * 1000),
+            "write": int((t_written - t_stats) * 1000),
+            "stats_wait": 0,
+        },
+        "per_bucket": _bucket_counters(per_bucket),
+    }
+    maxes.unpersist()
     return new_snap, counters

@@ -58,7 +58,15 @@ class ReplayEngine:
         compact_threshold: int = 8,
         lww_strategy: str = "broadcast",
         broadcast_key_budget: int | None = None,
+        target_columns: list[ColumnDef] | None = None,
+        key_columns: list[str] | None = None,
     ):
+        """``target_columns``/``key_columns`` customize the v1 table shape
+        (default: the north-rule source-code schema keyed on (repo,
+        path)) — composed pipelines (e.g. the sd-delta flagship) carry
+        extra enrichment columns on the wire that land as first-class
+        table columns. The four computed columns (content_sha256 +
+        lineage + tombstone) are appended automatically if absent."""
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg")
         self.spark = spark
@@ -72,14 +80,28 @@ class ReplayEngine:
         self.broadcast_key_budget = (
             BROADCAST_KEY_BUDGET if broadcast_key_budget is None else broadcast_key_budget
         )
+        keys = list(key_columns or ["repo", "path"])
+        cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in (target_columns or CDC_TARGET_COLUMNS)]
+        have = {c.name for c in cols}
+        computed = [
+            ("content_sha256", "string", None),
+            ("_ingest_offset", "long", None),
+            ("_ingest_batch", "int", None),
+            ("_deleted", "boolean", False),
+        ]
+        next_id = max(c.id for c in cols) + 1
+        for name, typ, default in computed:
+            if name not in have:
+                cols.append(ColumnDef(next_id, name, typ, default))
+                next_id += 1
         if ManifestTable.exists(table_root):
-            self.table = ManifestTable(spark, table_root, ["repo", "path"])
+            self.table = ManifestTable(spark, table_root, keys)
         else:
             self.table = ManifestTable.create(
                 spark,
                 table_root,
-                TableSchema([ColumnDef(c.id, c.name, c.type, c.default) for c in CDC_TARGET_COLUMNS]),
-                key_columns=["repo", "path"],
+                TableSchema(cols),
+                key_columns=keys,
                 num_buckets=num_buckets,
                 properties={"applied_batches": [], "applied_schema_ops": [], "fence_offset": -1},
             )
@@ -161,7 +183,7 @@ class ReplayEngine:
             # winner set here is ALL live keys (grows with the table, not
             # the batch), so the merge-side broadcast strategy must not
             # leak into reads — see resolve_state's docstring
-            return resolve_state(raw).drop("_deleted")
+            return resolve_state(raw, key_columns=self.table.key_columns).drop("_deleted")
         return raw.filter(~F.col("_deleted")).drop("_deleted")
 
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
@@ -171,16 +193,48 @@ class ReplayEngine:
         bucket post-images under cow — see ``ManifestTable.read_changes``."""
         return self.table.read_changes(from_version, to_version)
 
-    def compact(self, min_files: int = 2) -> list[int]:
-        """Fold delta files back into one base file per bucket (resolved,
-        tombstones dropped). Returns the buckets compacted."""
+    def compact(
+        self, min_files: int = 2, tombstone_commit_watermark: str | None = None
+    ) -> list[int]:
+        """Fold delta files back into one base file per bucket (one LWW
+        winner per key, the map-side-combined hash agg — needs no
+        driver-side winner set, so it is safe at any table size; a
+        winner-offset-broadcast variant was measured and did NOT beat it
+        here: compaction reads ~winner-width rows anyway once deltas are
+        folded regularly, and the agg's exchange doubles as the bucket
+        write exchange below). Returns the buckets compacted.
+
+        Winning tombstones are RETAINED by default: dropping a delete
+        also drops its (commit, offset) order, so a straggler event with
+        an older commit arriving after compaction would resurrect the
+        key. With ``tombstone_commit_watermark`` (the ingest's disorder
+        bound — no future event may carry a commit below it), tombstones
+        whose commit is strictly below the watermark are aged out, which
+        is what bounds tombstone storage at 10^10-event scale."""
         from etl_spark.cdc.merge import resolve_state
 
         buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
         if not buckets:
             return []
-        resolved = resolve_state(self.table.read(buckets=buckets))
-        self.table.rewrite_buckets(buckets, resolved)
+        resolved = resolve_state(
+            self.table.read(buckets=buckets),
+            lww_strategy="agg",
+            key_columns=self.table.key_columns,
+            keep_tombstones=True,
+        )
+        if tombstone_commit_watermark is not None:
+            resolved = resolved.filter(
+                (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
+            )
+        num_buckets = self.table.current_snapshot().num_buckets
+        old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # agg path: winners exchange doubles as the bucket write
+            # exchange when shuffle.partitions == num_buckets
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
+            self.table.rewrite_buckets(buckets, resolved)
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         return buckets
 
     # ---------- the loop ----------
@@ -192,6 +246,7 @@ class ReplayEngine:
         batches: list[int] | None = None,
         delete_guard: DataFrame | None = None,
         classify: dict | None = None,
+        pipeline_depth: int = 2,
     ) -> list[dict]:
         """Apply all (or the given) batches in batch-id order; skip batches
         already fenced into the table. Returns per-batch counter dicts.
@@ -199,7 +254,17 @@ class ReplayEngine:
         ``classify``: kwargs for ``etl_spark.cdc.classify.classify_events``
         — a raw status-coded feed (no ``op`` column yet) is classified to
         I/U/D ops feed-wide before batching (the reference's status state
-        machine, C2, runs as a pre-stage of the replay loop)."""
+        machine, C2, runs as a pre-stage of the replay loop).
+
+        ``pipeline_depth``: under merge-on-read with no schema-evolution
+        stream, batch N+1's WRITE runs concurrently with batch N while
+        snapshot COMMITS stay strictly ordered (Iceberg's write-then-
+        commit protocol) — per-batch driver overhead (plan build, job
+        submit, broadcast build, commit) stops multiplying by batch
+        count, which is the dominant serial term in N->4N scaling
+        efficiency. 1 disables pipelining; evolution ops or cow mode
+        force the sequential path (their reads/DDL order against the
+        table state)."""
         if classify is not None:
             from etl_spark.cdc.classify import classify_events
 
@@ -215,6 +280,10 @@ class ReplayEngine:
         }
         if batches is None:
             batches = sorted(bounds)
+        if self.mode == "mor" and schema_ops is None and pipeline_depth > 1:
+            return self._replay_mor_pipelined(
+                changelog, bounds, sorted(batches), delete_guard, pipeline_depth
+            )
         results = []
         for b in sorted(batches):
             results.append(
@@ -222,6 +291,127 @@ class ReplayEngine:
                     changelog, b, schema_ops, bounds=bounds.get(b), delete_guard=delete_guard
                 )
             )
+        return results
+
+    def _replay_mor_pipelined(
+        self,
+        changelog: DataFrame,
+        bounds: dict,
+        batches: list[int],
+        delete_guard: DataFrame | None,
+        depth: int,
+    ) -> list[dict]:
+        """Pipelined merge-on-read replay: up to ``depth`` batch writes in
+        flight, commits strictly ordered.
+
+        Safe because a mor append (a) reads nothing from the table, (b)
+        lands data files invisibly until its snapshot commit, and (c)
+        fences are plannable arithmetically (fence after batch b =
+        max(prev fence, hi_b) — offsets are known up front). A crash
+        leaves a committed prefix (consistent, resumable; uncommitted
+        files are orphans for expire_snapshots' vacuum) — identical
+        guarantees to the sequential loop. Exactly-once is untouched:
+        applied/fence bookkeeping rides in each ordered commit."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from etl_spark.cdc.merge import _bucket_counters, _stats_from_rows, plan_mor_batch
+        from etl_spark.functions.normalize import with_content_sha256
+
+        snap = self.table.current_snapshot()
+        applied = list(snap.properties.get("applied_batches", []))
+        ops_list = list(snap.properties.get("applied_schema_ops", []))
+        fence = int(snap.properties.get("fence_offset", -1))
+        sv = snap.current_schema_version
+        results: list[dict] = []
+        pending: list[dict] = []
+        pool = ThreadPoolExecutor(max_workers=depth)
+        stats_pool = ThreadPoolExecutor(max_workers=depth)
+        old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
+        # one content exchange: the winners aggregation's shuffle IS the
+        # bucket exchange when shuffle.partitions == num_buckets
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+
+        def drain_one() -> None:
+            p = pending.pop(0)
+            written = p["write_fut"].result()
+            self.table.commit_appended(written, sv, p["props"])
+            per_bucket = p["stats_fut"].result()
+            stats = _stats_from_rows(per_bucket)
+            duration_ms = int((time.monotonic() - p["t0"]) * 1000)
+            self._append_bucket_metrics(p["batch_id"], _bucket_counters(per_bucket))
+            self._append_metrics_row(
+                p["batch_id"], stats["events"], stats["ups"], stats["dels"],
+                stats["keys"], 0, duration_ms,
+            )
+            results.append({
+                "batch_id": p["batch_id"], "skipped": False, "schema_ops": 0,
+                "duration_ms": duration_ms, "rows_in": stats["events"],
+                "distinct_keys": stats["keys"], "upserts": stats["ups"],
+                "deletes": stats["dels"], "lww_path": p["lww_path"],
+                "pipelined": True, "per_bucket": _bucket_counters(per_bucket),
+            })
+
+        try:
+            for b in batches:
+                if b in applied:
+                    results.append({"batch_id": b, "skipped": True})
+                    continue
+                t0 = time.monotonic()
+                lo, hi = bounds.get(b, (None, None))
+                if lo is None:
+                    # empty batch: still fence it (ordered -> drain first)
+                    while pending:
+                        drain_one()
+                    applied = applied + [b]
+                    self.table.commit_appended({}, sv, {
+                        "applied_batches": applied,
+                        "applied_schema_ops": ops_list,
+                        "fence_offset": fence,
+                    })
+                    results.append({"batch_id": b, "skipped": False, "schema_ops": 0,
+                                    "duration_ms": int((time.monotonic() - t0) * 1000),
+                                    "rows_in": 0, "distinct_keys": 0, "upserts": 0,
+                                    "deletes": 0, "lww_path": "empty",
+                                    "pipelined": True, "per_bucket": []})
+                    continue
+                batch = changelog.filter(F.col("batch_id") == b).filter(F.col("offset") > fence)
+                delta, per_bucket_plan, lww_path = plan_mor_batch(
+                    snap, self.table.key_columns, batch, b,
+                    lww_strategy=self.lww_strategy,
+                    broadcast_key_budget=self.broadcast_key_budget,
+                    events_upper_bound=int(hi) - int(lo) + 1,
+                    delete_guard=delete_guard,
+                )
+                applied = applied + [b]
+                fence = max(fence, int(hi))
+                pending.append({
+                    "batch_id": b, "t0": t0, "lww_path": lww_path,
+                    "write_fut": pool.submit(
+                        self.table.write_delta_files, delta, snap, with_content_sha256
+                    ),
+                    "stats_fut": stats_pool.submit(per_bucket_plan.collect),
+                    "props": {"applied_batches": applied,
+                              "applied_schema_ops": ops_list,
+                              "fence_offset": fence},
+                })
+                while len(pending) >= depth:
+                    drain_one()
+                if self.compact_threshold and any(
+                    n >= self.compact_threshold for n in self.table.delta_counts().values()
+                ):
+                    # compaction reads the table: barrier-drain in-flight
+                    # writes, then fold
+                    while pending:
+                        drain_one()
+                    self.compact(min_files=self.compact_threshold)
+            while pending:
+                drain_one()
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+            pool.shutdown(wait=True, cancel_futures=True)
+            stats_pool.shutdown(wait=True, cancel_futures=True)
+        # drains interleave with skip records; present in batch order
+        results.sort(key=lambda r: r["batch_id"])
         return results
 
     def apply_batch(
@@ -286,6 +476,10 @@ class ReplayEngine:
             self.table, batch, batch_id, props, mode=self.mode,
             lww_strategy=self.lww_strategy, delete_guard=delete_guard,
             broadcast_key_budget=self.broadcast_key_budget,
+            # arithmetic bound from the batch's offset range (offsets are
+            # unique, so events <= hi-lo+1 and distinct keys <= events) —
+            # lets mor decide broadcast-vs-agg without a gating stats job
+            events_upper_bound=(int(hi) - int(lo) + 1) if hi is not None else None,
         )
         if self.mode == "mor" and self.compact_threshold:
             if any(n >= self.compact_threshold for n in self.table.delta_counts().values()):

@@ -37,6 +37,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--buckets", type=int, default=16)
         sp.add_argument("--mode", choices=["cow", "mor"], default="mor")
         sp.add_argument("--compact-threshold", type=int, default=8)
+        sp.add_argument(
+            "--lww-strategy", choices=["broadcast", "agg"], default="broadcast",
+            help="winner kernel: 'broadcast' = thin-agg winner offsets "
+            "broadcast-joined back (auto-degrades to the hash agg above "
+            "the key budget); 'agg' = fused map-side-combined hash agg",
+        )
 
     g = sub.add_parser("generate", help="write a synthetic changelog")
     g.add_argument("--out", required=True)
@@ -62,7 +68,26 @@ def _build_parser() -> argparse.ArgumentParser:
     common(s)
 
     c = sub.add_parser("compact", help="compact merge-on-read deltas")
+    c.add_argument(
+        "--tombstone-watermark",
+        help="commit watermark: tombstones with commit strictly below it "
+        "are aged out (no future event may carry a lower commit); "
+        "without it, winning tombstones are retained so out-of-order "
+        "stragglers cannot resurrect deleted keys",
+    )
     common(c)
+
+    fl = sub.add_parser(
+        "flagship",
+        help="the composed sd-delta flagship: config split -> exclusions "
+        "-> status classify -> dim enrich -> LWW -> guarded merge",
+    )
+    fl.add_argument("--changelog", required=True, help="status-coded feed (parquet)")
+    fl.add_argument("--config-csv", required=True, help="exclusion config CSV (repo;path, '-' = whole repo)")
+    fl.add_argument("--status-dim", help="optional status->status_name CSV (';'-separated)")
+    fl.add_argument("--delete-guard", help="optional parquet of keys whose deletes must demote")
+    fl.add_argument("--status-col", default="status")
+    common(fl)
 
     e = sub.add_parser("expire", help="expire old snapshots + vacuum orphaned data dirs")
     e.add_argument("--keep-last", type=int, default=5)
@@ -99,9 +124,34 @@ def main(argv: list[str] | None = None) -> int:
 
     from etl_spark.cdc.replay import ReplayEngine
 
+    if args.cmd == "flagship":
+        from etl_spark.plans.sd_delta_flagship import run_sd_delta_flagship
+        from etl_spark.sources.csv import read_config_csv
+
+        feed = spark.read.parquet(args.changelog)
+        status_dim = (
+            read_config_csv(spark, args.status_dim) if args.status_dim else None
+        )
+        guard = (
+            spark.read.parquet(args.delete_guard) if args.delete_guard else None
+        )
+        engine, results = run_sd_delta_flagship(
+            spark, args.table, feed, args.config_csv,
+            status_dim=status_dim, delete_guard=guard,
+            status_col=args.status_col, mode=args.mode, num_buckets=args.buckets,
+        )
+        print(json.dumps({
+            "applied": [r["batch_id"] for r in results if not r.get("skipped")],
+            "skipped": [r["batch_id"] for r in results if r.get("skipped")],
+            "rows": engine.read_state().count(),
+            "fence_offset": engine.fence_offset(),
+        }))
+        return 0
+
     engine = ReplayEngine(
         spark, args.table, num_buckets=args.buckets, mode=args.mode,
         compact_threshold=args.compact_threshold,
+        lww_strategy=args.lww_strategy,
     )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
@@ -125,7 +175,8 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps({"fence_offset": engine.fence_offset(),
                           "applied_batches": engine.applied_batches()}))
     elif args.cmd == "compact":
-        print(json.dumps({"compacted_buckets": engine.compact(min_files=2)}))
+        print(json.dumps({"compacted_buckets": engine.compact(
+            min_files=2, tombstone_commit_watermark=args.tombstone_watermark)}))
     elif args.cmd == "expire":
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":

@@ -116,11 +116,12 @@ FROM sigs GROUP BY signature
 """
 
 
-def _signature(emb_col: str = "emb"):
-    """8-bit random-hyperplane signature column (shared by bucket stats
-    and the pair retrieval)."""
+def _signature(emb_col: str = "emb", planes=None):
+    """Random-hyperplane signature column over the given plane indices
+    (default: the first N_PLANES). Shared by bucket stats, pair
+    retrieval, and the banded near-dup signatures."""
     bits = []
-    for p in range(N_PLANES):
+    for p in planes if planes is not None else range(N_PLANES):
         bits.append(F.expr(f"""
         CASE WHEN aggregate(
             zip_with({emb_col}, sequence(0, size({emb_col}) - 1),
@@ -129,6 +130,16 @@ def _signature(emb_col: str = "emb"):
             0.0D, (acc, v) -> acc + v) >= 0.0D THEN '1' ELSE '0' END
         """))
     return F.concat(*bits)
+
+
+def _duck_bit(p: int) -> str:
+    """DuckDB twin of one `_signature` bit (identical md5-derived
+    hyperplane, so signatures agree bit-for-bit across engines)."""
+    return (
+        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(emb)), "
+        f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
+        f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
+    )
 
 
 def lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -173,53 +184,109 @@ def lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # non-trivially exercised
 NEAR_DUP_COSINE = 0.3
 
+# Banded near-dup signatures (VERDICT r02 #3): bucket count = 2^planes
+# per band, so planes_per_band is the knob that scales bucket count with
+# corpus size (set it ~log2(N / target_bucket_size); 16+ at corpus
+# scale). The catalog instance uses 8/band x 2 bands because the
+# synthetic embeddings are near-random — 16-plane buckets would be
+# singletons at sf0.01 and the verify path would never run. MAX_BUCKET
+# then makes the per-bucket bound REAL (not just expected): a
+# degenerate bucket (all-zero embeddings, adversarial clusters) is
+# skipped, exactly like minhash_lsh_pairs' hot-bucket skip, capping the
+# self-join at O(buckets x MAX_BUCKET^2) regardless of input.
+EMB_BANDS = 2
+EMB_PLANES_PER_BAND = 8
+EMB_MAX_BUCKET = 100
 
-def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+
+def embedding_near_dup(
+    spark: SparkSession,
+    sf_dir: str,
+    n_bands: int = EMB_BANDS,
+    planes_per_band: int = EMB_PLANES_PER_BAND,
+    max_bucket: int = EMB_MAX_BUCKET,
+    threshold: float = NEAR_DUP_COSINE,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (the fifth dedup family
     beside exact/minhash/simhash/ngram): candidate pairs are LSH bucket
-    mates (signature equality — never all-pairs), verified with exact
-    cosine >= NEAR_DUP_COSINE; emit (keep, drop) with keep = min vec_id,
-    the standard near-dup resolution rule. At 100 TB the self-join is
-    keyed on the signature and bounded per bucket, the same shape as
-    minhash_lsh_pairs."""
+    mates within any of ``n_bands`` independent sign-signature bands
+    (never all-pairs), buckets above ``max_bucket`` members skipped
+    (documented recall trade for a hard cost bound, mirrored in the
+    oracle), candidates verified with exact cosine >= threshold; emit
+    (keep, drop) with keep = min vec_id, the standard near-dup
+    resolution rule. The self-join is keyed on (band, signature) and
+    hard-bounded per bucket — the same shape as minhash_lsh_pairs."""
     e = t(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double(F.col("embedding")).alias("emb")
     )
-    sigs = e.select("vec_id", "emb", _signature().alias("signature"))
-    a = sigs.select(
-        F.col("vec_id").alias("id_a"), F.col("emb").alias("emb_a"), "signature"
+    band_sigs = [
+        _signature("emb", planes=range(b * planes_per_band, (b + 1) * planes_per_band)).alias(f"sig{b}")
+        for b in range(n_bands)
+    ]
+    sigs = e.select("vec_id", *band_sigs)
+    bands = None
+    for b in range(n_bands):
+        part = sigs.select("vec_id", F.lit(b).alias("band"), F.col(f"sig{b}").alias("bkey"))
+        bands = part if bands is None else bands.unionByName(part)
+
+    # hot-bucket skip: bound the within-bucket self-join at
+    # O(max_bucket^2) per (band, bucket) — the docstring's "bounded per
+    # bucket" is enforced by the plan, not assumed from the hash
+    small = (
+        bands.groupBy("band", "bkey")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(F.col("bn") <= max_bucket)
+        .select("band", "bkey")
     )
-    b = sigs.select(
-        F.col("vec_id").alias("id_b"), F.col("emb").alias("emb_b"), F.col("signature").alias("sig_b")
+    bands = bands.join(small, ["band", "bkey"])
+
+    a, b2 = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(b2, (F.col("a.band") == F.col("b.band")) & (F.col("a.bkey") == F.col("b.bkey"))
+               & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(F.col("a.vec_id").alias("keep_id"), F.col("b.vec_id").alias("drop_id"))
+        .distinct()
     )
-    pairs = a.join(b, (F.col("signature") == F.col("sig_b")) & (F.col("id_a") < F.col("id_b")))
+    ea = e.select(F.col("vec_id").alias("keep_id"), F.col("emb").alias("emb_a"))
+    eb = e.select(F.col("vec_id").alias("drop_id"), F.col("emb").alias("emb_b"))
     cos = F.round(
         _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 6
     )
     return (
-        pairs.select(F.col("id_a").alias("keep_id"), F.col("id_b").alias("drop_id"), cos.alias("cosine"))
-        .filter(F.col("cosine") >= NEAR_DUP_COSINE)
+        cand.join(ea, "keep_id").join(eb, "drop_id")
+        .select("keep_id", "drop_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
     )
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sigs AS (
-  SELECT vec_id, emb,
-    {" || ".join(
-        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(emb)), "
-        f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
-        f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
-        for p in range(N_PLANES)
-    )} AS signature
+  SELECT vec_id,
+    {", ".join(
+        " || ".join(_duck_bit(p) for p in range(b * EMB_PLANES_PER_BAND, (b + 1) * EMB_PLANES_PER_BAND))
+        + f" AS sig{b}"
+        for b in range(EMB_BANDS)
+    )}
   FROM e
+),
+bands AS (
+  {" UNION ALL ".join(f"SELECT vec_id, {b} AS band, sig{b} AS bkey FROM sigs" for b in range(EMB_BANDS))}
+),
+small AS (
+  SELECT band, bkey FROM bands GROUP BY band, bkey HAVING COUNT(*) <= {EMB_MAX_BUCKET}
+),
+b2 AS (SELECT bands.* FROM bands JOIN small USING (band, bkey)),
+cand AS (
+  SELECT DISTINCT a.vec_id AS keep_id, b.vec_id AS drop_id
+  FROM b2 a JOIN b2 b ON a.band = b.band AND a.bkey = b.bkey AND a.vec_id < b.vec_id
 )
-SELECT a.vec_id AS keep_id, b.vec_id AS drop_id,
-       ROUND(list_dot_product(a.emb, b.emb) /
-             (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) AS cosine
-FROM sigs a JOIN sigs b ON a.signature = b.signature AND a.vec_id < b.vec_id
-WHERE ROUND(list_dot_product(a.emb, b.emb) /
-            (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b.emb, b.emb))), 6) >= {NEAR_DUP_COSINE}
+SELECT c.keep_id, c.drop_id,
+       ROUND(list_dot_product(ea.emb, eb.emb) /
+             (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 6) AS cosine
+FROM cand c JOIN e ea ON ea.vec_id = c.keep_id JOIN e eb ON eb.vec_id = c.drop_id
+WHERE ROUND(list_dot_product(ea.emb, eb.emb) /
+            (sqrt(list_dot_product(ea.emb, ea.emb)) * sqrt(list_dot_product(eb.emb, eb.emb))), 6) >= {NEAR_DUP_COSINE}
 """
 
 

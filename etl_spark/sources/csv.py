@@ -88,40 +88,62 @@ def read_csv_tab(
     )
 
 
+def _repair_lines(raw: DataFrame) -> DataFrame:
+    """The byte-repair rule as pure expressions: drop ``="..."`` Excel
+    wrapping, then stray double quotes."""
+    return raw.select(
+        F.regexp_replace(F.regexp_replace(F.col("value"), r'="([^"]*)"', r"$1"), '"', "").alias("line")
+    )
+
+
 def read_csv_repaired(
     spark: SparkSession,
-    path: str,
+    path: str | list[str],
     sep: str = ";",
     n_columns: int | None = None,
 ) -> DataFrame:
-    """S5: byte-level repair scan. Handles the reference's broken exports:
-    ``="0123"`` Excel-quoted cells, stray double quotes, and header rows
-    with missing trailing names (synthesized as ``n/a 1..k``).
+    """S5 (x S6): byte-level repair scan, single file or a list of files.
+    Handles the reference's broken exports: ``="0123"`` Excel-quoted
+    cells, stray double quotes, and header rows with missing trailing
+    names (synthesized as ``n/a 1..k``). The multi-file form repairs then
+    concatenates, dropping each file's own header line — the reference's
+    repair-and-append loop (``src/jobs/indkoebsdata.py:118-134``).
 
     Runs as ``spark.read.text`` -> expression repair -> ``from_csv``:
     fully distributed, no Python row loop. The header is resolved from
-    the first line of the (single) file on the driver — one tiny read.
+    the first line of the first file on the driver — one tiny read. The
+    schema comes from the FIRST file (the reference appends subsequent
+    frames under the first file's columns); a later file with fewer cells
+    parses its missing trailing columns as null.
+
+    Per-file header drop uses the single-file invariant (partition 0 of a
+    one-file text read starts at byte 0, so the header is exactly row
+    ``monotonically_increasing_id() == 0``) applied file-by-file before
+    the union — correct even when files are byte-identical or a header
+    string reappears as a data row. Broken legacy exports arrive as a
+    handful of driver-named files, so the per-file plan loop is bounded
+    by the caller's path list, never by data volume.
     """
-    raw = spark.read.text(path)
-    # repair rule (pure expressions): drop ="..." wrapping, then stray quotes
-    fixed = raw.select(
-        F.regexp_replace(F.regexp_replace(F.col("value"), r'="([^"]*)"', r"$1"), '"', "").alias("line")
-    )
-    header_line = fixed.first()["line"]
+    paths = [path] if isinstance(path, str) else list(path)
+    first = _repair_lines(spark.read.text(paths[0]))
+    header_line = first.first()["line"]
     names = [h.strip() for h in header_line.split(sep)]
     if n_columns is not None and len(names) < n_columns:
         names += [f"n/a {i + 1}" for i in range(n_columns - len(names))]
     names = [n if n else f"n/a {i + 1}" for i, n in enumerate(names)]
     ddl = ", ".join(f"`{n}` STRING" for n in names)
-    # drop ONLY the first physical line (the header), not every line that
-    # happens to be byte-identical to it: for a single-file text read,
-    # partition 0 starts at byte 0, so the header is exactly the row with
-    # monotonically_increasing_id() == 0
-    body = (
-        fixed.withColumn("__idx", F.monotonically_increasing_id())
-        .filter(F.col("__idx") != 0)
-        .drop("__idx")
-    )
+
+    bodies = []
+    for p in paths:
+        fixed = _repair_lines(spark.read.text(p))
+        bodies.append(
+            fixed.withColumn("__idx", F.monotonically_increasing_id())
+            .filter(F.col("__idx") != 0)
+            .drop("__idx")
+        )
+    body = bodies[0]
+    for b in bodies[1:]:
+        body = body.unionByName(b)
     parsed = body.select(F.from_csv(F.col("line"), ddl, {"sep": sep}).alias("r")).select("r.*")
     return parsed
 

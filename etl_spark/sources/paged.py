@@ -54,6 +54,7 @@ def fetch_pages(
     fetch: Callable[[int, int], "object"],
     schema: str,
     pages_per_task: int | None = None,
+    n_pages: int | None = None,
 ) -> DataFrame:
     """Pull every planned page in parallel. ``fetch(offset, limit)`` must
     return a pandas DataFrame matching ``schema`` (a DDL string).
@@ -61,11 +62,15 @@ def fetch_pages(
     ``pages_per_task`` repartitions the page table so each task owns a
     contiguous run of pages (fewer, longer-lived connections); default
     leaves the planner's partitioning (one ``spark.range`` slice per
-    core)."""
+    core). Pass ``n_pages`` when the page count is already known (it
+    always is for ``plan_pages`` output — pure arithmetic) so no extra
+    count job runs; the ``pages.count()`` fallback exists only for
+    caller-built page tables of unknown size."""
     import pandas as pd  # noqa: F401  (documents the fetch contract)
 
     if pages_per_task:
-        n = max(1, -(-pages.count() // pages_per_task))
+        total = n_pages if n_pages is not None else pages.count()
+        n = max(1, -(-total // pages_per_task))
         pages = pages.repartition(n, "page_id")
 
     def pull(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
@@ -82,7 +87,13 @@ def read_paged(
     page_size: int,
     fetch: Callable[[int, int], "object"],
     schema: str,
+    pages_per_task: int | None = None,
 ) -> DataFrame:
     """plan + fetch in one call — the drop-in replacement for the
-    reference's ``get_all_hits`` scroll loop."""
-    return fetch_pages(plan_pages(spark, total_count, page_size), fetch, schema)
+    reference's ``get_all_hits`` scroll loop. The page count is derived
+    arithmetically (no count job)."""
+    n_pages = max(0, -(-total_count // page_size))
+    return fetch_pages(
+        plan_pages(spark, total_count, page_size), fetch, schema,
+        pages_per_task=pages_per_task, n_pages=n_pages,
+    )

@@ -134,9 +134,12 @@ class Snapshot:
             num_buckets=d["num_buckets"],
             files={int(b): fs for b, fs in d["files"].items()},
             properties=d.get("properties", {}),
-            # pre-versioning snapshots recorded nothing: attach must not
-            # silently assume they used the current function
-            bucket_fn=d.get("bucket_fn", "unrecorded"),
+            # pre-versioning snapshots (format v1) recorded no bucket_fn,
+            # but every build of this engine has only ever written
+            # murmur3_pmod — treat field-absence as that function so
+            # legacy tables stay attachable (the hard refusal in
+            # _check_format still fires for explicitly DIFFERENT values)
+            bucket_fn=d.get("bucket_fn", BUCKET_FN),
             format_version=d.get("format_version", 1),
         )
 
@@ -357,14 +360,36 @@ class ManifestTable:
         bucket. Readers resolve base+delta with the engine's LWW rule;
         ``delta_counts`` drives compaction scheduling."""
         snap = self.current_snapshot()
-        sv = snap.current_schema_version
-        written = self._write_bucketed(df, snap, "dl", post_shuffle=post_shuffle)
+        written = self.write_delta_files(df, snap, post_shuffle=post_shuffle)
+        return self.commit_appended(written, snap.current_schema_version, properties_update)
+
+    def write_delta_files(
+        self, df: DataFrame, snap: Snapshot, post_shuffle=None
+    ) -> dict[int, str]:
+        """The WRITE half of ``append_buckets`` — data files land on disk
+        but no snapshot references them yet (invisible; orphan-vacuumed
+        by ``expire_snapshots`` if never committed). Split out so the
+        replay loop can run the write of batch N+1 concurrently with
+        batch N while keeping snapshot COMMITS strictly ordered —
+        exactly Iceberg's write-then-commit protocol."""
+        return self._write_bucketed(df, snap, "dl", post_shuffle=post_shuffle)
+
+    def commit_appended(
+        self, written: dict[int, str], schema_version: int,
+        properties_update: dict | None = None,
+    ) -> Snapshot:
+        """The COMMIT half of ``append_buckets``: atomically publish
+        already-written delta files under the CURRENT snapshot (which may
+        be newer than the one the files were planned against — safe
+        because appends touch no existing files; callers must not
+        interleave schema evolution with in-flight writes)."""
+        snap = self.current_snapshot()
         files = {b: list(es) for b, es in snap.files.items()}
         for b, p in written.items():
-            files.setdefault(b, []).append({"path": p, "sv": sv})
+            files.setdefault(b, []).append({"path": p, "sv": schema_version})
         new = Snapshot(
             version=snap.version + 1,
-            current_schema_version=sv,
+            current_schema_version=snap.current_schema_version,
             schemas=snap.schemas,
             num_buckets=snap.num_buckets,
             files=files,
@@ -509,20 +534,45 @@ class ManifestTable:
         keep = set(sorted(versions)[-keep_last:]) | {cur}
         expired = [v for v in versions if v not in keep]
 
+        # realpath BOTH sides of the membership test: the table may have
+        # been attached via a differently-spelled but equivalent root
+        # ('tbl' vs './tbl', relative vs absolute, via symlink) than the
+        # one its manifests were written under — exact string comparison
+        # would then mark every live dir dead and vacuum the whole table.
         live_dirs: set[str] = set()
+        n_live_entries = 0
         for v in sorted(keep):
             snap = self.snapshot_at(v)
             for es in snap.files.values():
                 for e in es:
+                    n_live_entries += 1
                     # entries point at bucket subdirs: <write_dir>/__bucket=N
-                    live_dirs.add(os.path.dirname(e["path"].rstrip("/")))
+                    live_dirs.add(os.path.realpath(os.path.dirname(e["path"].rstrip("/"))))
 
-        deleted = 0
+        candidates = []
+        matched = 0
         for entry in os.listdir(self._data_dir):
             full = os.path.join(self._data_dir, entry)
-            if os.path.isdir(full) and full not in live_dirs:
-                shutil.rmtree(full, ignore_errors=True)
-                deleted += 1
+            if not os.path.isdir(full):
+                continue
+            if os.path.realpath(full) in live_dirs:
+                matched += 1
+            else:
+                candidates.append(full)
+        if n_live_entries and not matched:
+            # surviving snapshots reference data files yet NOT ONE data
+            # dir matched — the manifest paths and the scan root disagree
+            # (foreign mount, moved table). Deleting now would drop all
+            # live data; refuse instead of vacuuming.
+            raise RuntimeError(
+                f"expire_snapshots: surviving snapshots reference {n_live_entries} "
+                f"file entries but no directory under {self._data_dir!r} matched a "
+                "live write dir — refusing to vacuum (manifest/root mismatch?)"
+            )
+        deleted = 0
+        for full in candidates:
+            shutil.rmtree(full, ignore_errors=True)
+            deleted += 1
         for v in expired:
             try:
                 os.remove(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json"))

@@ -234,9 +234,12 @@ def test_bucket_fn_mismatch_refuses_attach(spark, tmp_path):
     with pytest.raises(ValueError, match="bucket function"):
         ManifestTable(spark, root, ["k"]).current_snapshot()
 
-    # pre-versioning snapshots (field absent) are refused too
+    # pre-versioning snapshots (field absent) attach fine: every prior
+    # build only ever wrote murmur3_pmod, so absence IS that function
+    # (ADVICE r02 — refusing bricked legacy tables with no migration
+    # path); explicit different values above still refuse.
     del d["bucket_fn"]
     with open(p, "w") as f:
         f.write(json.dumps(d))
-    with pytest.raises(ValueError, match="unrecorded"):
-        ManifestTable(spark, root, ["k"]).current_snapshot()
+    legacy = ManifestTable(spark, root, ["k"]).current_snapshot()
+    assert legacy.bucket_fn == "murmur3_pmod"
