@@ -227,12 +227,17 @@ class ReplayEngine:
                 (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
             )
         num_buckets = self.table.current_snapshot().num_buckets
+        from etl_spark.table.manifest import write_fanout
+
+        k = write_fanout(self.spark, num_buckets)
         old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         try:
             # agg path: winners exchange doubles as the bucket write
-            # exchange when shuffle.partitions == num_buckets
-            self.spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets))
-            self.table.rewrite_buckets(buckets, resolved)
+            # exchange when shuffle.partitions == num_buckets * fanout
+            # (the repartition in the writer pins the same count on the
+            # same keys, so Catalyst elides it — content crosses once)
+            self.spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets * k))
+            self.table.rewrite_buckets(buckets, resolved, files_per_bucket=k)
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         return buckets
@@ -316,6 +321,7 @@ class ReplayEngine:
 
         from etl_spark.cdc.merge import _bucket_counters, _stats_from_rows, plan_mor_batch
         from etl_spark.functions.normalize import with_content_sha256
+        from etl_spark.table.manifest import write_fanout
 
         snap = self.table.current_snapshot()
         applied = list(snap.properties.get("applied_batches", []))
@@ -328,8 +334,12 @@ class ReplayEngine:
         stats_pool = ThreadPoolExecutor(max_workers=depth)
         old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         # one content exchange: the winners aggregation's shuffle IS the
-        # bucket exchange when shuffle.partitions == num_buckets
-        self.spark.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+        # bucket exchange when shuffle.partitions matches the writer's
+        # pinned count (num_buckets * fanout — see write_fanout)
+        fanout = write_fanout(self.spark, snap.num_buckets)
+        self.spark.conf.set(
+            "spark.sql.shuffle.partitions", str(snap.num_buckets * fanout)
+        )
 
         def drain_one() -> None:
             p = pending.pop(0)
@@ -387,7 +397,8 @@ class ReplayEngine:
                 pending.append({
                     "batch_id": b, "t0": t0, "lww_path": lww_path,
                     "write_fut": pool.submit(
-                        self.table.write_delta_files, delta, snap, with_content_sha256
+                        self.table.write_delta_files, delta, snap,
+                        with_content_sha256, fanout,
                     ),
                     "stats_fut": stats_pool.submit(per_bucket_plan.collect),
                     "props": {"applied_batches": applied,

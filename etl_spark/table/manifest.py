@@ -160,6 +160,19 @@ def bucket_expr(key_columns: list[str], num_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
 
 
+def write_fanout(spark, num_buckets: int) -> int:
+    """Files-per-bucket fan-out for bucket-aligned writes/compaction:
+    target ~4 write tasks per core so the largest bucket cannot strand
+    the other cores behind it (wave quantization — with tasks == buckets
+    ~ cores, one oversized bucket adds a whole straggler wave; measured
+    as the compaction-scaling limiter at sandbox scale). At production
+    scale buckets >> cores and this is 1 — layout unchanged."""
+    if os.environ.get("ETL_SPARK_WRITE_FANOUT"):
+        return max(1, int(os.environ["ETL_SPARK_WRITE_FANOUT"]))
+    par = spark.sparkContext.defaultParallelism
+    return max(1, -(-4 * par // max(1, num_buckets)))
+
+
 class ManifestTable:
     """A keyed, bucketed, snapshot-versioned parquet table."""
 
@@ -271,25 +284,40 @@ class ManifestTable:
 
     # ---------- write ----------
 
-    def _write_bucketed(self, df: DataFrame, snap: Snapshot, tag: str, post_shuffle=None) -> dict[int, str]:
+    def _write_bucketed(
+        self, df: DataFrame, snap: Snapshot, tag: str, post_shuffle=None,
+        files_per_bucket: int = 1,
+    ) -> dict[int, str]:
         """Write df partitioned by key bucket. Returns {bucket: dir} for
         buckets that received rows. The bucket function is the table's
         fixed layout, so every write co-locates keys identically — merges
         only ever read the buckets they touch.
 
-        The repartition pins EXACTLY num_buckets partitions (a
-        user-specified count AQE will not coalesce): one writer task per
-        bucket, no tiny-file explosion, and write parallelism that holds
-        at any data size. ``post_shuffle`` (e.g. the content-sha256
-        pandas_udf) is applied AFTER that exchange so expensive per-row
-        compute runs at full write parallelism instead of on however few
-        partitions the upstream aggregation coalesced to."""
+        The repartition pins EXACTLY num_buckets * files_per_bucket
+        partitions (a user-specified count AQE will not coalesce): no
+        tiny-file explosion, and write parallelism that holds at any data
+        size. ``post_shuffle`` (e.g. the content-sha256 pandas_udf) is
+        applied AFTER that exchange so expensive per-row compute runs at
+        full write parallelism instead of on however few partitions the
+        upstream aggregation coalesced to.
+
+        ``files_per_bucket`` decouples write/compaction parallelism from
+        the bucket layout: hash-partitioning on the keys with
+        k * num_buckets partitions nests EXACTLY inside the bucket
+        function (partition id = pmod(hash, k*n), so id mod n == bucket
+        — murmur3-mod both times), meaning every task still writes rows
+        of a single bucket, just k files per bucket dir instead of one.
+        At 100 TB buckets >> cores and k stays 1; on a small cluster (or
+        this sandbox) where cores ~ buckets, k > 1 removes the wave
+        quantization that otherwise leaves cores idle behind the largest
+        bucket — the measured compaction-scaling limiter."""
+        k = max(1, int(files_per_bucket))
         write_dir = os.path.join(self._data_dir, f"w-{snap.version + 1:08d}-{tag}-{uuid.uuid4().hex[:8]}")
         out = df.withColumn(_BUCKET_COL, bucket_expr(self.key_columns, snap.num_buckets))
-        # hash-partition on the KEY columns with exactly num_buckets
-        # partitions: because bucket_expr is the same murmur3-mod, this
-        # puts bucket i in partition i — perfectly aligned, no collisions
-        out = out.repartition(snap.num_buckets, *[F.col(c) for c in self.key_columns])
+        # hash-partition on the KEY columns: because bucket_expr is the
+        # same murmur3-mod, partition i holds only bucket i % num_buckets
+        # — perfectly aligned, no collisions
+        out = out.repartition(snap.num_buckets * k, *[F.col(c) for c in self.key_columns])
         if post_shuffle is not None:
             out = post_shuffle(out)
         out = out.select(*snap.schema.names(), _BUCKET_COL)
@@ -323,6 +351,7 @@ class ManifestTable:
         buckets: list[int],
         df: DataFrame,
         properties_update: dict | None = None,
+        files_per_bucket: int = 1,
     ) -> Snapshot:
         """Copy-on-write commit: replace the given buckets with ``df``
         (which must contain only rows belonging to those buckets, in the
@@ -331,7 +360,9 @@ class ManifestTable:
         snapshot commit — the exactly-once guarantee hangs off this."""
         snap = self.current_snapshot()
         sv = snap.current_schema_version
-        written = self._write_bucketed(df.select(*snap.schema.names()), snap, "mg")
+        written = self._write_bucketed(
+            df.select(*snap.schema.names()), snap, "mg", files_per_bucket=files_per_bucket
+        )
         files = {b: list(es) for b, es in snap.files.items()}
         for b in buckets:
             files[b] = []  # rewritten (possibly to empty if all rows deleted)
@@ -351,7 +382,8 @@ class ManifestTable:
         return new
 
     def append_buckets(
-        self, df: DataFrame, properties_update: dict | None = None, post_shuffle=None
+        self, df: DataFrame, properties_update: dict | None = None, post_shuffle=None,
+        files_per_bucket: int = 1,
     ) -> Snapshot:
         """Merge-on-read commit: append ``df``'s rows as DELTA files to the
         buckets they hash into, leaving existing files untouched. Write
@@ -360,11 +392,14 @@ class ManifestTable:
         bucket. Readers resolve base+delta with the engine's LWW rule;
         ``delta_counts`` drives compaction scheduling."""
         snap = self.current_snapshot()
-        written = self.write_delta_files(df, snap, post_shuffle=post_shuffle)
+        written = self.write_delta_files(
+            df, snap, post_shuffle=post_shuffle, files_per_bucket=files_per_bucket
+        )
         return self.commit_appended(written, snap.current_schema_version, properties_update)
 
     def write_delta_files(
-        self, df: DataFrame, snap: Snapshot, post_shuffle=None
+        self, df: DataFrame, snap: Snapshot, post_shuffle=None,
+        files_per_bucket: int = 1,
     ) -> dict[int, str]:
         """The WRITE half of ``append_buckets`` — data files land on disk
         but no snapshot references them yet (invisible; orphan-vacuumed
@@ -372,7 +407,9 @@ class ManifestTable:
         replay loop can run the write of batch N+1 concurrently with
         batch N while keeping snapshot COMMITS strictly ordered —
         exactly Iceberg's write-then-commit protocol."""
-        return self._write_bucketed(df, snap, "dl", post_shuffle=post_shuffle)
+        return self._write_bucketed(
+            df, snap, "dl", post_shuffle=post_shuffle, files_per_bucket=files_per_bucket
+        )
 
     def commit_appended(
         self, written: dict[int, str], schema_version: int,
