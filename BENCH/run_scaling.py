@@ -125,7 +125,19 @@ def main() -> None:
         os.sched_setaffinity(0, set(range(os.cpu_count())))
         fastest = sorted(rates, key=lambda c: -rates[c])
         hi_cores = sorted(fastest[: args.high])
-        lo_cores = sorted(sorted(hi_cores, key=lambda c: -rates[c])[: args.low])
+        # per-core fairness: the low level gets the subset of the high
+        # set whose MEAN burn rate is closest to the high set's mean —
+        # handing it the fastest (or slowest) cores would bias measured
+        # efficiency by the per-core speed spread (~10-15% on this VM)
+        hi_mean = sum(rates[c] for c in hi_cores) / len(hi_cores)
+        by_rate = sorted(hi_cores, key=lambda c: -rates[c])
+        windows = [
+            by_rate[i:i + args.low] for i in range(len(by_rate) - args.low + 1)
+        ]
+        lo_cores = sorted(min(
+            windows,
+            key=lambda w: abs(sum(rates[c] for c in w) / len(w) - hi_mean),
+        ))
         hi_pin = ",".join(map(str, hi_cores))
         lo_pin = ",".join(map(str, lo_cores))
         print(json.dumps({"auto_pin": {"low": lo_pin, "high": hi_pin,
