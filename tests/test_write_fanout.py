@@ -34,7 +34,7 @@ def test_fanout_write_nests_in_buckets(spark, tmp_path):
     t = ManifestTable.create(spark, root, SCHEMA, key_columns=["repo", "path"], num_buckets=4)
     df = _rows(spark)
     t.overwrite(df)  # baseline layout, fanout 1
-    base = {tuple(sorted(r)) for r in t.read().collect()}
+    base = {(r["repo"], r["path"], r["v"]) for r in t.read().collect()}
 
     t2 = ManifestTable.create(
         spark, os.path.join(str(tmp_path), "t2"), SCHEMA,
@@ -56,7 +56,7 @@ def test_fanout_write_nests_in_buckets(spark, tmp_path):
     assert sum(len(glob.glob(os.path.join(d, "part-*"))) for d in written.values()) > 4
 
     t2.commit_appended(written, 1)
-    assert {tuple(sorted(r)) for r in t2.read().collect()} == base
+    assert {(r["repo"], r["path"], r["v"]) for r in t2.read().collect()} == base
 
 
 def test_replay_final_state_invariant_under_fanout(spark, tmp_path, monkeypatch):
