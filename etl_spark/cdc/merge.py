@@ -294,20 +294,15 @@ def merge_batch(
         # as the writer's post_shuffle hook: AFTER the bucket exchange,
         # at full write parallelism.
         sess = batch_events.sparkSession
-        from etl_spark.table.manifest import write_fanout
-
-        fanout = write_fanout(sess, snap.num_buckets)
         old_sp = sess.conf.get("spark.sql.shuffle.partitions")
         try:
             # fused path: make the winners agg's exchange BE the bucket
-            # exchange — with shuffle.partitions matching the writer's
-            # pinned count (num_buckets * fanout) the explicit
-            # repartition in the writer is redundant and eliminated, so
-            # content is shuffled once
-            sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets * fanout))
+            # exchange — with shuffle.partitions == num_buckets the
+            # explicit repartition in the writer is redundant and
+            # eliminated, so content is shuffled once
+            sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
             new_snap = table.append_buckets(
-                delta, properties_update, post_shuffle=with_content_sha256,
-                files_per_bucket=fanout,
+                delta, properties_update, post_shuffle=with_content_sha256
             )
         finally:
             sess.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -227,9 +227,9 @@ class ReplayEngine:
                 (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
             )
         num_buckets = self.table.current_snapshot().num_buckets
-        from etl_spark.table.manifest import write_fanout
+        from etl_spark.table.manifest import compact_fanout
 
-        k = write_fanout(self.spark, num_buckets)
+        k = compact_fanout(self.table.bucket_bytes(buckets), len(buckets))
         old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         try:
             # agg path: winners exchange doubles as the bucket write
@@ -321,7 +321,6 @@ class ReplayEngine:
 
         from etl_spark.cdc.merge import _bucket_counters, _stats_from_rows, plan_mor_batch
         from etl_spark.functions.normalize import with_content_sha256
-        from etl_spark.table.manifest import write_fanout
 
         snap = self.table.current_snapshot()
         applied = list(snap.properties.get("applied_batches", []))
@@ -334,12 +333,11 @@ class ReplayEngine:
         stats_pool = ThreadPoolExecutor(max_workers=depth)
         old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         # one content exchange: the winners aggregation's shuffle IS the
-        # bucket exchange when shuffle.partitions matches the writer's
-        # pinned count (num_buckets * fanout — see write_fanout)
-        fanout = write_fanout(self.spark, snap.num_buckets)
-        self.spark.conf.set(
-            "spark.sql.shuffle.partitions", str(snap.num_buckets * fanout)
-        )
+        # bucket exchange when shuffle.partitions == num_buckets. Delta
+        # writes do NOT fan out (batch deltas are small per bucket;
+        # fanning them out made tasks overhead-dominated in A/B runs) —
+        # only compaction, whose inputs are measured on disk, does.
+        self.spark.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
 
         def drain_one() -> None:
             p = pending.pop(0)
@@ -397,8 +395,7 @@ class ReplayEngine:
                 pending.append({
                     "batch_id": b, "t0": t0, "lww_path": lww_path,
                     "write_fut": pool.submit(
-                        self.table.write_delta_files, delta, snap,
-                        with_content_sha256, fanout,
+                        self.table.write_delta_files, delta, snap, with_content_sha256
                     ),
                     "stats_fut": stats_pool.submit(per_bucket_plan.collect),
                     "props": {"applied_batches": applied,

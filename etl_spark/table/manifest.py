@@ -160,17 +160,26 @@ def bucket_expr(key_columns: list[str], num_buckets: int):
     return F.pmod(F.hash(*[F.col(c) for c in key_columns]), F.lit(num_buckets)).cast("int")
 
 
-def write_fanout(spark, num_buckets: int) -> int:
-    """Files-per-bucket fan-out for bucket-aligned writes/compaction:
-    target ~4 write tasks per core so the largest bucket cannot strand
-    the other cores behind it (wave quantization — with tasks == buckets
-    ~ cores, one oversized bucket adds a whole straggler wave; measured
-    as the compaction-scaling limiter at sandbox scale). At production
-    scale buckets >> cores and this is 1 — layout unchanged."""
+# Target on-disk bytes per compaction write task. SIZE-based, not
+# core-based: A/B profiling showed fanning out by core count makes
+# tasks overhead-dominated when buckets are small (32 cores, 1 MB
+# buckets: 62k vs 103k events/s), while big buckets DO need splitting
+# (8 cores, ~25 MB buckets: compaction 6.4 s -> 4.2 s) — the largest
+# bucket otherwise strands every other core behind it (wave
+# quantization, the measured compaction-scaling limiter).
+FANOUT_TARGET_BYTES = int(os.environ.get("ETL_SPARK_FANOUT_TARGET_BYTES", 16 * 1024 * 1024))
+
+
+def compact_fanout(total_bytes: int, num_buckets: int) -> int:
+    """Files-per-bucket fan-out for a compaction rewrite of
+    ``num_buckets`` buckets totalling ``total_bytes`` on disk: enough
+    sub-splits that each write task handles ~FANOUT_TARGET_BYTES. At
+    production scale buckets are sized to the target anyway and this is
+    1 — layout unchanged."""
     if os.environ.get("ETL_SPARK_WRITE_FANOUT"):
         return max(1, int(os.environ["ETL_SPARK_WRITE_FANOUT"]))
-    par = spark.sparkContext.defaultParallelism
-    return max(1, -(-4 * par // max(1, num_buckets)))
+    per_bucket = total_bytes / max(1, num_buckets)
+    return max(1, int(-(-per_bucket // FANOUT_TARGET_BYTES)))
 
 
 class ManifestTable:
@@ -439,6 +448,24 @@ class ManifestTable:
         """{bucket: number of file entries} — >1 means unresolved deltas."""
         snap = self.current_snapshot()
         return {b: len(es) for b, es in snap.files.items()}
+
+    def bucket_bytes(self, buckets: list[int] | None = None, snapshot: Snapshot | None = None) -> int:
+        """Total on-disk bytes of the given buckets' data files. Walks
+        the manifest-listed dirs (local metadata; a production manifest
+        would carry per-file sizes, making this a pure-metadata read)."""
+        snap = snapshot or self.current_snapshot()
+        sel = set(buckets) if buckets is not None else None
+        total = 0
+        for b, entries in snap.files.items():
+            if sel is not None and b not in sel:
+                continue
+            for e in entries:
+                d = e["path"]
+                if os.path.isdir(d):
+                    for f in os.listdir(d):
+                        if not f.startswith(("_", ".")):
+                            total += os.path.getsize(os.path.join(d, f))
+        return total
 
     def merge(
         self,

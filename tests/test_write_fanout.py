@@ -13,7 +13,13 @@ import os
 import pytest
 from pyspark.sql import functions as F
 
-from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema, write_fanout
+from etl_spark.table.manifest import (
+    FANOUT_TARGET_BYTES,
+    ColumnDef,
+    ManifestTable,
+    TableSchema,
+    compact_fanout,
+)
 
 
 SCHEMA = TableSchema(
@@ -83,10 +89,14 @@ def test_replay_final_state_invariant_under_fanout(spark, tmp_path, monkeypatch)
     assert run("1") == run("4")
 
 
-def test_write_fanout_is_one_at_scale(spark, monkeypatch):
+def test_compact_fanout_is_size_based(monkeypatch):
     monkeypatch.delenv("ETL_SPARK_WRITE_FANOUT", raising=False)
-    # buckets >> cores (the production regime): no fan-out, layout as-is
-    assert write_fanout(spark, 4096) == 1
-    # sandbox regime: cores ~ buckets -> fans out to ~4 tasks/core
-    par = spark.sparkContext.defaultParallelism
-    assert write_fanout(spark, par) == 4
+    # buckets at/below the per-task byte target (production sizing): no
+    # fan-out, layout as-is
+    assert compact_fanout(FANOUT_TARGET_BYTES * 16, 16) == 1
+    assert compact_fanout(0, 16) == 1
+    # oversized buckets split into ~target-sized write tasks
+    assert compact_fanout(FANOUT_TARGET_BYTES * 64, 16) == 4
+    # env override wins
+    monkeypatch.setenv("ETL_SPARK_WRITE_FANOUT", "7")
+    assert compact_fanout(0, 1) == 7
