@@ -34,6 +34,12 @@ def main() -> None:
     ap.add_argument("--mode", default="mor")
     ap.add_argument("--content-scale", type=int, default=4)
     ap.add_argument("--lww", default="agg", choices=["agg", "broadcast"])
+    ap.add_argument(
+        "--depth", type=int, default=2,
+        help="replay pipeline depth (1 = sequential: per-batch phases "
+        "are exclusive and include stats_wait; >1 = pipelined: plan/"
+        "write/commit phases recorded per batch, spans overlap)",
+    )
     args = ap.parse_args()
 
     os.environ.setdefault("ETL_SPARK_MAX_PARTITION_BYTES", "16m")
@@ -71,7 +77,7 @@ def main() -> None:
         t0 = time.monotonic()
         eng = ReplayEngine(spark, os.path.join(wd, "t"), num_buckets=max(16, par),
                            mode=args.mode, lww_strategy=args.lww)
-        results = eng.replay(changelog)
+        results = eng.replay(changelog, pipeline_depth=args.depth)
         t_replay = time.monotonic() - t0
         t1 = time.monotonic()
         if args.mode == "mor":

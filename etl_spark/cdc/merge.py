@@ -226,6 +226,7 @@ def merge_batch(
     delete_guard: DataFrame | None = None,
     broadcast_key_budget: int = BROADCAST_KEY_BUDGET,
     events_upper_bound: int | None = None,
+    tombstone_commit_watermark: str | None = None,
 ) -> tuple[Snapshot, dict]:
     """Apply one micro-batch of change events. Returns (snapshot, counters).
 
@@ -257,6 +258,14 @@ def merge_batch(
     per-batch cost at 8 cores — the dominant term in N->4N scaling
     efficiency). Without a bound (None), mor conservatively uses the
     fused hash-agg kernel, which needs no key count at all.
+
+    ``tombstone_commit_watermark``: the ingest's disorder bound (no
+    future event may carry a commit strictly below it). Under cow it
+    ages out stored tombstones during the bucket rewrite that is
+    happening anyway — cow buckets never accumulate delta files, so
+    compaction's watermark path is unreachable for them and this is
+    the only place cow tombstone storage gets bounded. Under mor the
+    same watermark is applied by ``ReplayEngine.compact``.
     """
     t_start = time.monotonic()
     snap = table.current_snapshot()
@@ -268,7 +277,7 @@ def merge_batch(
         # it. Nothing in the mor write needs the stats: the bucket set
         # falls out of the append itself, and the broadcast-budget
         # decision uses events_upper_bound (keys <= events).
-        t_plan = time.monotonic()
+        t_snap = time.monotonic()
         delta, per_bucket_plan, lww_path = plan_mor_batch(
             snap, keys, batch_events, batch_id,
             lww_strategy=lww_strategy,
@@ -286,13 +295,17 @@ def merge_batch(
 
         stats_thread = threading.Thread(target=_collect_stats, daemon=True)
         stats_thread.start()
-        t_stats = time.monotonic()
+        t_planned = time.monotonic()
 
-        # append winners as deltas (deletes ride along as tombstones);
+        # write winners as deltas (deletes ride along as tombstones);
         # nothing is read, nothing is rewritten — one bucket-aligned
         # shuffle + write per batch. The normalize+sha256 pandas_udf runs
         # as the writer's post_shuffle hook: AFTER the bucket exchange,
-        # at full write parallelism.
+        # at full write parallelism. Write and commit are split so the
+        # stats job is consumed BEFORE the commit: a stats failure after
+        # the commit would leave the batch durably applied with its
+        # metrics/lineage rows permanently missing (resume skips applied
+        # batches) — failing before the commit makes resume recompute.
         sess = batch_events.sparkSession
         old_sp = sess.conf.get("spark.sql.shuffle.partitions")
         try:
@@ -301,8 +314,8 @@ def merge_batch(
             # explicit repartition in the writer is redundant and
             # eliminated, so content is shuffled once
             sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
-            new_snap = table.append_buckets(
-                delta, properties_update, post_shuffle=with_content_sha256
+            written = table.write_delta_files(
+                delta, snap, post_shuffle=with_content_sha256
             )
         finally:
             sess.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -314,19 +327,25 @@ def merge_batch(
         per_bucket = stats_holder["rows"]
         stats = _stats_from_rows(per_bucket)
         t_joined = time.monotonic()
+        new_snap = table.commit_appended(
+            written, snap.current_schema_version, properties_update
+        )
+        t_committed = time.monotonic()
         counters = {
             "rows_in": stats["events"], "distinct_keys": stats["keys"],
             "upserts": stats["ups"], "deletes": stats["dels"],
             "lww_path": lww_path,
-            # phase breakdown for serial-overhead profiling: "plan" =
-            # driver-side frame construction, "write" = winner resolve +
-            # bucket exchange + UDF + parquet + commit, "stats_wait" =
-            # residual wait on the concurrent stats job
+            # phase breakdown for serial-overhead profiling: "snapshot" =
+            # manifest read, "plan" = driver-side frame construction,
+            # "write" = winner resolve + bucket exchange + UDF + parquet,
+            # "stats_wait" = residual wait on the concurrent stats job,
+            # "commit" = atomic snapshot publish
             "timings_ms": {
-                "plan": int((t_plan - t_start) * 1000),
-                "stats": int((t_stats - t_plan) * 1000),
-                "write": int((t_written - t_stats) * 1000),
+                "snapshot": int((t_snap - t_start) * 1000),
+                "plan": int((t_planned - t_snap) * 1000),
+                "write": int((t_written - t_planned) * 1000),
                 "stats_wait": int((t_joined - t_written) * 1000),
+                "commit": int((t_committed - t_joined) * 1000),
             },
             "per_bucket": _bucket_counters(per_bucket),
         }
@@ -377,9 +396,17 @@ def merge_batch(
     # must survive the commit, or an out-of-order event in a LATER batch
     # carrying an OLDER commit would resurrect the key — cow and mor
     # both match the global-log oracle under arbitrary cross-batch
-    # commit disorder. Tombstones age out via compaction's commit
-    # watermark (see ReplayEngine.compact).
+    # commit disorder. Under mor, tombstones age out via compaction's
+    # commit watermark (see ReplayEngine.compact); under cow that path
+    # is unreachable (cow buckets hold one file, never enough deltas to
+    # trigger compaction), so the watermark is applied HERE, during the
+    # rewrite the batch pays for anyway — otherwise cow tables would
+    # accumulate and rewrite every deleted key forever.
     survivors = resolved.drop("__op")
+    if tombstone_commit_watermark is not None:
+        survivors = survivors.filter(
+            (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
+        )
     new_snap = table.rewrite_buckets(touched, survivors, properties_update)
     t_written = time.monotonic()
     counters = {

@@ -60,13 +60,21 @@ class ReplayEngine:
         broadcast_key_budget: int | None = None,
         target_columns: list[ColumnDef] | None = None,
         key_columns: list[str] | None = None,
+        tombstone_commit_watermark: str | None = None,
     ):
         """``target_columns``/``key_columns`` customize the v1 table shape
         (default: the north-rule source-code schema keyed on (repo,
         path)) — composed pipelines (e.g. the sd-delta flagship) carry
         extra enrichment columns on the wire that land as first-class
         table columns. The four computed columns (content_sha256 +
-        lineage + tombstone) are appended automatically if absent."""
+        lineage + tombstone) are appended automatically if absent.
+
+        ``tombstone_commit_watermark``: the ingest's disorder bound — no
+        future event may carry a commit strictly below it. When set,
+        stored tombstones older than the watermark are aged out: under
+        cow at each bucket rewrite, under mor at each compaction. Without
+        it tombstones are retained indefinitely (always correct, but
+        unbounded storage for delete-heavy feeds)."""
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg")
         self.spark = spark
@@ -80,6 +88,7 @@ class ReplayEngine:
         self.broadcast_key_budget = (
             BROADCAST_KEY_BUDGET if broadcast_key_budget is None else broadcast_key_budget
         )
+        self.tombstone_commit_watermark = tombstone_commit_watermark
         keys = list(key_columns or ["repo", "path"])
         cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in (target_columns or CDC_TARGET_COLUMNS)]
         have = {c.name for c in cols}
@@ -210,9 +219,15 @@ class ReplayEngine:
         key. With ``tombstone_commit_watermark`` (the ingest's disorder
         bound — no future event may carry a commit below it), tombstones
         whose commit is strictly below the watermark are aged out, which
-        is what bounds tombstone storage at 10^10-event scale."""
+        is what bounds tombstone storage at 10^10-event scale. Defaults
+        to the engine-level ``tombstone_commit_watermark`` when not
+        given (cow tables age tombstones at rewrite time instead — see
+        ``merge_batch`` — since cow buckets never accumulate the delta
+        files that make them eligible here)."""
         from etl_spark.cdc.merge import resolve_state
 
+        if tombstone_commit_watermark is None:
+            tombstone_commit_watermark = self.tombstone_commit_watermark
         buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
         if not buckets:
             return []
@@ -229,7 +244,8 @@ class ReplayEngine:
         num_buckets = self.table.current_snapshot().num_buckets
         from etl_spark.table.manifest import compact_fanout
 
-        k = compact_fanout(self.table.bucket_bytes(buckets), len(buckets))
+        sizes = self.table.bucket_bytes(buckets, per_bucket=True)
+        k = compact_fanout(max(sizes.values(), default=0))
         old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         try:
             # agg path: winners exchange doubles as the bucket write
@@ -341,9 +357,15 @@ class ReplayEngine:
 
         def drain_one() -> None:
             p = pending.pop(0)
-            written = p["write_fut"].result()
-            self.table.commit_appended(written, sv, p["props"])
+            # BOTH futures resolve before the commit: a stats failure
+            # after the commit would leave the batch durably applied with
+            # its metrics/lineage rows permanently missing (resume skips
+            # applied batches); failing first makes resume recompute it.
+            written, write_ms = p["write_fut"].result()
             per_bucket = p["stats_fut"].result()
+            t_c = time.monotonic()
+            self.table.commit_appended(written, sv, p["props"])
+            commit_ms = int((time.monotonic() - t_c) * 1000)
             stats = _stats_from_rows(per_bucket)
             duration_ms = int((time.monotonic() - p["t0"]) * 1000)
             self._append_bucket_metrics(p["batch_id"], _bucket_counters(per_bucket))
@@ -353,10 +375,18 @@ class ReplayEngine:
             )
             results.append({
                 "batch_id": p["batch_id"], "skipped": False, "schema_ops": 0,
+                # duration_ms is the batch's WALL span (plan -> commit).
+                # Spans of concurrent batches overlap by design — they
+                # sum to more than the replay wall clock; per-phase
+                # exclusive costs are in timings_ms.
                 "duration_ms": duration_ms, "rows_in": stats["events"],
                 "distinct_keys": stats["keys"], "upserts": stats["ups"],
                 "deletes": stats["dels"], "lww_path": p["lww_path"],
-                "pipelined": True, "per_bucket": _bucket_counters(per_bucket),
+                "pipelined": True,
+                "timings_ms": {
+                    "plan": p["plan_ms"], "write": write_ms, "commit": commit_ms,
+                },
+                "per_bucket": _bucket_counters(per_bucket),
             })
 
         try:
@@ -392,11 +422,16 @@ class ReplayEngine:
                 )
                 applied = applied + [b]
                 fence = max(fence, int(hi))
+
+                def _timed_write(d=delta):
+                    tw = time.monotonic()
+                    out = self.table.write_delta_files(d, snap, with_content_sha256)
+                    return out, int((time.monotonic() - tw) * 1000)
+
                 pending.append({
                     "batch_id": b, "t0": t0, "lww_path": lww_path,
-                    "write_fut": pool.submit(
-                        self.table.write_delta_files, delta, snap, with_content_sha256
-                    ),
+                    "plan_ms": int((time.monotonic() - t0) * 1000),
+                    "write_fut": pool.submit(_timed_write),
                     "stats_fut": stats_pool.submit(per_bucket_plan.collect),
                     "props": {"applied_batches": applied,
                               "applied_schema_ops": ops_list,
@@ -488,6 +523,7 @@ class ReplayEngine:
             # unique, so events <= hi-lo+1 and distinct keys <= events) —
             # lets mor decide broadcast-vs-agg without a gating stats job
             events_upper_bound=(int(hi) - int(lo) + 1) if hi is not None else None,
+            tombstone_commit_watermark=self.tombstone_commit_watermark,
         )
         if self.mode == "mor" and self.compact_threshold:
             if any(n >= self.compact_threshold for n in self.table.delta_counts().values()):

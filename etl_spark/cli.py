@@ -69,6 +69,12 @@ def _build_parser() -> argparse.ArgumentParser:
 
     c = sub.add_parser("compact", help="compact merge-on-read deltas")
     c.add_argument(
+        "--min-files", type=int, default=2,
+        help="fold buckets holding at least this many files (1 = force a "
+        "full rewrite pass, e.g. to apply a tombstone watermark to "
+        "buckets that never accumulate deltas)",
+    )
+    c.add_argument(
         "--tombstone-watermark",
         help="commit watermark: tombstones with commit strictly below it "
         "are aged out (no future event may carry a lower commit); "
@@ -139,6 +145,8 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.table, feed, args.config_csv,
             status_dim=status_dim, delete_guard=guard,
             status_col=args.status_col, mode=args.mode, num_buckets=args.buckets,
+            lww_strategy=args.lww_strategy,
+            compact_threshold=args.compact_threshold,
         )
         print(json.dumps({
             "applied": [r["batch_id"] for r in results if not r.get("skipped")],
@@ -171,12 +179,14 @@ def main(argv: list[str] | None = None) -> int:
             spark, args.changelog, args.table, args.checkpoint,
             num_buckets=args.buckets, mode=args.mode,
             compact_threshold=args.compact_threshold,
+            lww_strategy=args.lww_strategy,
         )
         print(json.dumps({"fence_offset": engine.fence_offset(),
                           "applied_batches": engine.applied_batches()}))
     elif args.cmd == "compact":
         print(json.dumps({"compacted_buckets": engine.compact(
-            min_files=2, tombstone_commit_watermark=args.tombstone_watermark)}))
+            min_files=args.min_files,
+            tombstone_commit_watermark=args.tombstone_watermark)}))
     elif args.cmd == "expire":
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":

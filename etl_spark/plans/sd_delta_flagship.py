@@ -94,6 +94,8 @@ def run_sd_delta_flagship(
     status_col: str = "status",
     mode: str = "cow",
     num_buckets: int = 8,
+    lww_strategy: str = "broadcast",
+    compact_threshold: int = 8,
 ) -> tuple[ReplayEngine, list[dict]]:
     """The full flagship chain; returns (engine, per-batch results).
     Final state via ``engine.read_state()``, run metrics via
@@ -105,6 +107,7 @@ def run_sd_delta_flagship(
     engine = ReplayEngine(
         spark, table_root, num_buckets=num_buckets, mode=mode,
         target_columns=FLAGSHIP_COLUMNS,
+        lww_strategy=lww_strategy, compact_threshold=compact_threshold,
     )
     results = engine.replay(
         prepared,

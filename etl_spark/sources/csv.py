@@ -134,8 +134,10 @@ def read_csv_repaired(
     ddl = ", ".join(f"`{n}` STRING" for n in names)
 
     bodies = []
-    for p in paths:
-        fixed = _repair_lines(spark.read.text(p))
+    for i, p in enumerate(paths):
+        # reuse the header probe's frame for file 0 — building it again
+        # would scan the first file's text source twice per action
+        fixed = first if i == 0 else _repair_lines(spark.read.text(p))
         bodies.append(
             fixed.withColumn("__idx", F.monotonically_increasing_id())
             .filter(F.col("__idx") != 0)

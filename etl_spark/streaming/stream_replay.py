@@ -39,12 +39,14 @@ def stream_replay(
     max_files_per_trigger: int | None = None,
     mode: str = "cow",
     compact_threshold: int = 8,
+    lww_strategy: str = "broadcast",
 ) -> ReplayEngine:
     """Tail ``changelog_dir`` (parquet WAL files) into the lake table.
     Blocks until the available backlog is drained; returns the engine for
     state/metrics inspection."""
     engine = ReplayEngine(
-        spark, table_root, num_buckets=num_buckets, mode=mode, compact_threshold=compact_threshold
+        spark, table_root, num_buckets=num_buckets, mode=mode,
+        compact_threshold=compact_threshold, lww_strategy=lww_strategy,
     )
 
     reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)

@@ -170,16 +170,17 @@ def bucket_expr(key_columns: list[str], num_buckets: int):
 FANOUT_TARGET_BYTES = int(os.environ.get("ETL_SPARK_FANOUT_TARGET_BYTES", 16 * 1024 * 1024))
 
 
-def compact_fanout(total_bytes: int, num_buckets: int) -> int:
-    """Files-per-bucket fan-out for a compaction rewrite of
-    ``num_buckets`` buckets totalling ``total_bytes`` on disk: enough
-    sub-splits that each write task handles ~FANOUT_TARGET_BYTES. At
-    production scale buckets are sized to the target anyway and this is
-    1 — layout unchanged."""
+def compact_fanout(max_bucket_bytes: int) -> int:
+    """Files-per-bucket fan-out for a compaction rewrite: enough
+    sub-splits that each write task handles ~FANOUT_TARGET_BYTES of the
+    LARGEST input bucket. Sized from the max, not the mean: the wave
+    quantization this exists to fix is the biggest bucket stranding
+    every other core behind it, and under hot-key skew the mean stays
+    small while one bucket balloons. At production scale buckets are
+    sized to the target anyway and this is 1 — layout unchanged."""
     if os.environ.get("ETL_SPARK_WRITE_FANOUT"):
         return max(1, int(os.environ["ETL_SPARK_WRITE_FANOUT"]))
-    per_bucket = total_bytes / max(1, num_buckets)
-    return max(1, int(-(-per_bucket // FANOUT_TARGET_BYTES)))
+    return max(1, int(-(-max_bucket_bytes // FANOUT_TARGET_BYTES)))
 
 
 class ManifestTable:
@@ -449,23 +450,33 @@ class ManifestTable:
         snap = self.current_snapshot()
         return {b: len(es) for b, es in snap.files.items()}
 
-    def bucket_bytes(self, buckets: list[int] | None = None, snapshot: Snapshot | None = None) -> int:
-        """Total on-disk bytes of the given buckets' data files. Walks
-        the manifest-listed dirs (local metadata; a production manifest
-        would carry per-file sizes, making this a pure-metadata read)."""
+    def bucket_bytes(
+        self,
+        buckets: list[int] | None = None,
+        snapshot: Snapshot | None = None,
+        per_bucket: bool = False,
+    ) -> int | dict[int, int]:
+        """On-disk bytes of the given buckets' data files — a total, or
+        a {bucket: bytes} map with ``per_bucket=True`` (the fan-out
+        sizing needs the max, not the sum, under bucket-size skew).
+        Walks the manifest-listed dirs (local metadata; a production
+        manifest would carry per-file sizes, making this a
+        pure-metadata read)."""
         snap = snapshot or self.current_snapshot()
         sel = set(buckets) if buckets is not None else None
-        total = 0
+        sizes: dict[int, int] = {}
         for b, entries in snap.files.items():
             if sel is not None and b not in sel:
                 continue
+            n = 0
             for e in entries:
                 d = e["path"]
                 if os.path.isdir(d):
                     for f in os.listdir(d):
                         if not f.startswith(("_", ".")):
-                            total += os.path.getsize(os.path.join(d, f))
-        return total
+                            n += os.path.getsize(os.path.join(d, f))
+            sizes[b] = n
+        return sizes if per_bucket else sum(sizes.values())
 
     def merge(
         self,

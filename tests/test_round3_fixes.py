@@ -265,3 +265,53 @@ def test_read_paged_pages_per_task_no_count(spark):
     assert sorted((r["id"], r["val"]) for r in out.collect()) == sorted(src)
     # partition count derived arithmetically: ceil(5 pages / 2) = 3
     assert out.rdd.getNumPartitions() == 3
+
+
+# -------------------------------------------- cow tombstone aging at rewrite
+def test_cow_tombstones_age_out_at_rewrite_watermark(spark, tmp_path):
+    """Cow buckets never accumulate delta files, so compaction's
+    watermark path is unreachable for them — the engine-level
+    ``tombstone_commit_watermark`` must age tombstones during the
+    bucket rewrite itself, or delete-heavy cow tables grow and rewrite
+    their dead keys forever."""
+    from etl_spark.cdc.replay import ReplayEngine
+
+    schema = (
+        "offset long, batch_id int, repo string, path string, commit string, "
+        "lang string, content string, op string"
+    )
+    b0 = spark.createDataFrame(
+        [
+            (0, 0, "r", "old", "c10", "py", "v", "U"),
+            (1, 0, "r", "old", "c20", "py", None, "D"),   # aged out (c20 < c50)
+            (2, 0, "r", "new", "c60", "py", None, "D"),   # kept (c60 >= c50)
+            (3, 0, "r", "live", "c70", "py", "w", "U"),
+        ],
+        schema,
+    )
+    eng = ReplayEngine(
+        spark, str(tmp_path / "t"), num_buckets=1, mode="cow",
+        tombstone_commit_watermark="c50",
+    )
+    eng.replay(b0)
+    raw = eng.table.read()
+    assert raw.filter("path = 'old'").count() == 0        # physically gone
+    assert raw.filter("path = 'new' AND _deleted").count() == 1
+    assert {r["path"] for r in eng.read_state().collect()} == {"live"}
+
+    # the retained tombstone still wins against a straggler below it...
+    b1 = spark.createDataFrame([(4, 1, "r", "new", "c55", "py", "x", "U")], schema)
+    eng.replay(b1)
+    assert {r["path"] for r in eng.read_state().collect()} == {"live"}
+    # ...and a second rewrite under a raised watermark ages it out too
+    # single bucket: every batch rewrite touches it, so the raised
+    # watermark is guaranteed to see the retained tombstone
+    eng2 = ReplayEngine(
+        spark, str(tmp_path / "t"), num_buckets=1, mode="cow",
+        tombstone_commit_watermark="c99",
+    )
+    b2 = spark.createDataFrame([(5, 2, "r", "new2", "c98", "py", "y", "U")], schema)
+    eng2.replay(b2)
+    raw2 = eng2.table.read()
+    assert raw2.filter("_deleted").count() == 0
+    assert {r["path"] for r in eng2.read_state().collect()} == {"live", "new2"}

@@ -91,12 +91,15 @@ def test_replay_final_state_invariant_under_fanout(spark, tmp_path, monkeypatch)
 
 def test_compact_fanout_is_size_based(monkeypatch):
     monkeypatch.delenv("ETL_SPARK_WRITE_FANOUT", raising=False)
-    # buckets at/below the per-task byte target (production sizing): no
-    # fan-out, layout as-is
-    assert compact_fanout(FANOUT_TARGET_BYTES * 16, 16) == 1
-    assert compact_fanout(0, 16) == 1
-    # oversized buckets split into ~target-sized write tasks
-    assert compact_fanout(FANOUT_TARGET_BYTES * 64, 16) == 4
+    # largest bucket at/below the per-task byte target (production
+    # sizing): no fan-out, layout as-is
+    assert compact_fanout(FANOUT_TARGET_BYTES) == 1
+    assert compact_fanout(0) == 1
+    # an oversized bucket splits into ~target-sized write tasks — sized
+    # from the MAX bucket so hot-key skew (one huge bucket among small
+    # ones) still fans out even when the mean is tiny
+    assert compact_fanout(FANOUT_TARGET_BYTES * 4) == 4
+    assert compact_fanout(FANOUT_TARGET_BYTES * 4 + 1) == 5
     # env override wins
     monkeypatch.setenv("ETL_SPARK_WRITE_FANOUT", "7")
-    assert compact_fanout(0, 1) == 7
+    assert compact_fanout(0) == 7
