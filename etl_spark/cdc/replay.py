@@ -277,15 +277,16 @@ class ReplayEngine:
         I/U/D ops feed-wide before batching (the reference's status state
         machine, C2, runs as a pre-stage of the replay loop).
 
-        ``pipeline_depth``: under merge-on-read with no schema-evolution
-        stream, batch N+1's WRITE runs concurrently with batch N while
-        snapshot COMMITS stay strictly ordered (Iceberg's write-then-
-        commit protocol) — per-batch driver overhead (plan build, job
-        submit, broadcast build, commit) stops multiplying by batch
-        count, which is the dominant serial term in N->4N scaling
-        efficiency. 1 disables pipelining; evolution ops or cow mode
-        force the sequential path (their reads/DDL order against the
-        table state)."""
+        ``pipeline_depth``: under merge-on-read, batch N+1's WRITE runs
+        concurrently with batch N while snapshot COMMITS stay strictly
+        ordered (Iceberg's write-then-commit protocol) — per-batch
+        driver overhead (plan build, job submit, broadcast build,
+        commit) stops multiplying by batch count, which is the dominant
+        serial term in N->4N scaling efficiency. Schema-evolution
+        streams pipeline BETWEEN evolution points: only the batch
+        carrying each DDL event runs sequentially. 1 disables
+        pipelining; cow mode forces the sequential path (its bucket
+        reads order against the table state)."""
         if classify is not None:
             from etl_spark.cdc.classify import classify_events
 
@@ -301,10 +302,59 @@ class ReplayEngine:
         }
         if batches is None:
             batches = sorted(bounds)
-        if self.mode == "mor" and schema_ops is None and pipeline_depth > 1:
-            return self._replay_mor_pipelined(
-                changelog, bounds, sorted(batches), delete_guard, pipeline_depth
+        if self.mode == "mor" and pipeline_depth > 1:
+            if schema_ops is None:
+                return self._replay_mor_pipelined(
+                    changelog, bounds, sorted(batches), delete_guard, pipeline_depth
+                )
+            # Pipeline BETWEEN evolution points: each DDL offset pins the
+            # earliest batch whose offset range reaches it to the
+            # sequential path (the evolution commit must precede that
+            # batch's data commit, and in-flight delta writes were
+            # planned against the pre-evolution schema), while runs of
+            # evolution-free batches still overlap their writes. A
+            # 10^10-event replay with a handful of DDL events keeps the
+            # pipeline everywhere except the batches that carry them.
+            # Ops are pinned conservatively from ALL given ops (not just
+            # unapplied ones): on resume the pinned batch goes through
+            # apply_batch, which skips applied batches/ops anyway.
+            op_offsets = sorted(
+                r["offset"] for r in schema_ops.select("offset").collect()
             )
+            ordered = sorted(batches)
+            op_batches: set[int] = set()
+            for o in op_offsets:
+                for b in ordered:
+                    hi = bounds.get(b, (None, None))[1]
+                    if hi is not None and int(o) <= int(hi):
+                        op_batches.add(b)
+                        break
+            results = []
+            run: list[int] = []
+
+            def _flush_run() -> None:
+                if run:
+                    results.extend(
+                        self._replay_mor_pipelined(
+                            changelog, bounds, list(run), delete_guard, pipeline_depth
+                        )
+                    )
+                    run.clear()
+
+            for b in ordered:
+                if b in op_batches:
+                    _flush_run()
+                    results.append(
+                        self.apply_batch(
+                            changelog, b, schema_ops,
+                            bounds=bounds.get(b), delete_guard=delete_guard,
+                        )
+                    )
+                else:
+                    run.append(b)
+            _flush_run()
+            results.sort(key=lambda r: r["batch_id"])
+            return results
         results = []
         for b in sorted(batches):
             results.append(

@@ -315,3 +315,44 @@ def test_cow_tombstones_age_out_at_rewrite_watermark(spark, tmp_path):
     raw2 = eng2.table.read()
     assert raw2.filter("_deleted").count() == 0
     assert {r["path"] for r in eng2.read_state().collect()} == {"live", "new2"}
+
+
+# ------------------------------- pipelined replay across evolution points
+def test_pipelined_replay_with_schema_evolution(spark, tmp_path):
+    """Schema-evolution streams no longer force the whole replay
+    sequential: only the batch carrying each DDL event does. Final
+    state, schema, and resume bookkeeping must equal the sequential
+    path's."""
+    import json as _json
+
+    from etl_spark.cdc.changelog import generate_changelog
+    from etl_spark.cdc.replay import ReplayEngine
+    from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+
+    log = generate_changelog(spark, 6000, seed=13, n_repos=5, paths_per_repo=20, num_batches=6)
+    log.cache()
+    # one DDL mid-stream: batches 0-2 pipeline, batch 3 sequential, 4-5 pipeline
+    lo3 = log.filter("batch_id = 3").agg({"offset": "min"}).first()[0]
+    ops = spark.createDataFrame(
+        [(int(lo3) + 1, "add_column", "size_bytes", _json.dumps({"type": "int"}))],
+        SCHEMA_EVOLUTION_SCHEMA,
+    )
+
+    seq = ReplayEngine(spark, str(tmp_path / "seq"), num_buckets=4, mode="mor")
+    seq.replay(log, schema_ops=ops, pipeline_depth=1)
+
+    pipe = ReplayEngine(spark, str(tmp_path / "pipe"), num_buckets=4, mode="mor")
+    res = pipe.replay(log, schema_ops=ops, pipeline_depth=2)
+    assert [r["batch_id"] for r in res] == [0, 1, 2, 3, 4, 5]
+    assert sum(r.get("schema_ops", 0) for r in res) == 1
+    assert any(r.get("pipelined") for r in res)          # runs really pipelined
+    assert not res[3].get("pipelined")                   # the DDL batch didn't
+
+    a = seq.read_state().orderBy("repo", "path").collect()
+    b = pipe.read_state().orderBy("repo", "path").collect()
+    assert seq.read_state().columns == pipe.read_state().columns
+    assert "size_bytes" in pipe.read_state().columns
+    assert a == b
+    # re-replay is a no-op (exactly-once bookkeeping intact across segments)
+    res2 = pipe.replay(log, schema_ops=ops, pipeline_depth=2)
+    assert all(r["skipped"] for r in res2)
