@@ -203,7 +203,10 @@ class ReplayEngine:
         return self.table.read_changes(from_version, to_version)
 
     def compact(
-        self, min_files: int = 2, tombstone_commit_watermark: str | None = None
+        self,
+        min_files: int = 2,
+        tombstone_commit_watermark: str | None = None,
+        min_delta_fraction: float | None = None,
     ) -> list[int]:
         """Fold delta files back into one base file per bucket (one LWW
         winner per key, the map-side-combined hash agg — needs no
@@ -229,6 +232,19 @@ class ReplayEngine:
         if tombstone_commit_watermark is None:
             tombstone_commit_watermark = self.tombstone_commit_watermark
         buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
+        if min_delta_fraction is not None and buckets:
+            # bytes-aware eligibility (LSM amortization): folding a few
+            # tiny deltas into a huge base is O(base) write amplification
+            # per cycle — at 100 TB, file COUNT alone would rewrite the
+            # whole table every compact_threshold batches. A bucket only
+            # qualifies once its accumulated delta bytes reach the given
+            # fraction of its base (a baseless bucket always qualifies),
+            # so rewrite cost is amortized against genuinely new data.
+            sizes = self.table.bucket_delta_base_bytes(buckets)
+            buckets = [
+                b for b in buckets
+                if sizes[b][0] == 0 or sizes[b][1] >= min_delta_fraction * sizes[b][0]
+            ]
         if not buckets:
             return []
         resolved = resolve_state(

@@ -75,6 +75,13 @@ def _build_parser() -> argparse.ArgumentParser:
         "buckets that never accumulate deltas)",
     )
     c.add_argument(
+        "--min-delta-fraction", type=float,
+        help="bytes-aware eligibility: only fold buckets whose delta "
+        "bytes reach this fraction of their base bytes (LSM "
+        "amortization — avoids rewriting a huge base for a few tiny "
+        "deltas); unset = file-count eligibility only",
+    )
+    c.add_argument(
         "--tombstone-watermark",
         help="commit watermark: tombstones with commit strictly below it "
         "are aged out (no future event may carry a lower commit); "
@@ -186,7 +193,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "compact":
         print(json.dumps({"compacted_buckets": engine.compact(
             min_files=args.min_files,
-            tombstone_commit_watermark=args.tombstone_watermark)}))
+            tombstone_commit_watermark=args.tombstone_watermark,
+            min_delta_fraction=args.min_delta_fraction)}))
     elif args.cmd == "expire":
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":

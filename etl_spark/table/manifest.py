@@ -478,6 +478,36 @@ class ManifestTable:
             sizes[b] = n
         return sizes if per_bucket else sum(sizes.values())
 
+    def bucket_delta_base_bytes(
+        self, buckets: list[int] | None = None, snapshot: Snapshot | None = None
+    ) -> dict[int, tuple[int, int]]:
+        """{bucket: (base_bytes, delta_bytes)} — delta entries are the
+        ones appended by ``write_delta_files`` (write-dir tag ``dl``);
+        everything else (rewrite ``mg`` / overwrite ``ow``) is base.
+        Drives bytes-aware compaction eligibility: rewriting a huge base
+        to fold a few tiny deltas is O(table) write amplification per
+        cycle, the classic LSM amortization problem."""
+        snap = snapshot or self.current_snapshot()
+        sel = set(buckets) if buckets is not None else None
+        out: dict[int, tuple[int, int]] = {}
+        for b, entries in snap.files.items():
+            if sel is not None and b not in sel:
+                continue
+            base = delta = 0
+            for e in entries:
+                d = e["path"]
+                n = 0
+                if os.path.isdir(d):
+                    for f in os.listdir(d):
+                        if not f.startswith(("_", ".")):
+                            n += os.path.getsize(os.path.join(d, f))
+                if "-dl-" in os.path.basename(os.path.dirname(d)):
+                    delta += n
+                else:
+                    base += n
+            out[b] = (base, delta)
+        return out
+
     def merge(
         self,
         upserts: DataFrame,

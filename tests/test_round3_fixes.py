@@ -356,3 +356,39 @@ def test_pipelined_replay_with_schema_evolution(spark, tmp_path):
     # re-replay is a no-op (exactly-once bookkeeping intact across segments)
     res2 = pipe.replay(log, schema_ops=ops, pipeline_depth=2)
     assert all(r["skipped"] for r in res2)
+
+
+# ---------------------------------------- bytes-aware compaction eligibility
+def test_compact_min_delta_fraction(spark, tmp_path):
+    """LSM amortization: a bucket with a big base and a tiny delta is NOT
+    rewritten under ``min_delta_fraction``; once its deltas accumulate
+    past the fraction it folds, and the resolved state is unchanged
+    either way."""
+    from etl_spark.cdc.changelog import generate_changelog
+    from etl_spark.cdc.replay import ReplayEngine
+
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=2, mode="mor",
+                       compact_threshold=0)  # manual compaction only
+    big = generate_changelog(spark, 4000, seed=3, n_repos=4, paths_per_repo=50,
+                             num_batches=1)
+    eng.replay(big)
+    eng.compact(min_files=1)  # establish a base
+    base_state = {tuple(r) for r in eng.read_state().select("repo", "path", "commit").collect()}
+
+    tiny = generate_changelog(spark, 40, seed=4, n_repos=4, paths_per_repo=50,
+                              num_batches=1).withColumn(
+        "offset", F.col("offset") + 1_000_000).withColumn(
+        "batch_id", F.lit(100))
+    eng.replay(tiny)
+
+    # tiny delta (<~1% of base): bytes-aware pass folds nothing...
+    assert eng.compact(min_files=2, min_delta_fraction=0.5) == []
+    sizes = eng.table.bucket_delta_base_bytes()
+    assert all(base > 0 and delta > 0 for base, delta in sizes.values())
+    # ...but the count-based pass still can, and state matches the lazy read
+    lazy = {tuple(r) for r in eng.read_state().select("repo", "path", "commit").collect()}
+    folded_buckets = eng.compact(min_files=2)
+    assert folded_buckets
+    eager = {tuple(r) for r in eng.read_state().select("repo", "path", "commit").collect()}
+    assert lazy == eager
+    assert base_state  # sanity: the base had rows
