@@ -61,6 +61,7 @@ class ReplayEngine:
         target_columns: list[ColumnDef] | None = None,
         key_columns: list[str] | None = None,
         tombstone_commit_watermark: str | None = None,
+        compact_delta_fraction: float | None = None,
     ):
         """``target_columns``/``key_columns`` customize the v1 table shape
         (default: the north-rule source-code schema keyed on (repo,
@@ -74,7 +75,14 @@ class ReplayEngine:
         stored tombstones older than the watermark are aged out: under
         cow at each bucket rewrite, under mor at each compaction. Without
         it tombstones are retained indefinitely (always correct, but
-        unbounded storage for delete-heavy feeds)."""
+        unbounded storage for delete-heavy feeds).
+
+        ``compact_delta_fraction``: when set, the replay loop's automatic
+        compaction only folds buckets whose delta bytes reach this
+        fraction of their base (see ``compact``'s
+        ``min_delta_fraction``) — the production setting for long-running
+        ingests, where rewriting every base each ``compact_threshold``
+        batches is O(table) write amplification per cycle."""
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg")
         self.spark = spark
@@ -89,6 +97,7 @@ class ReplayEngine:
             BROADCAST_KEY_BUDGET if broadcast_key_budget is None else broadcast_key_budget
         )
         self.tombstone_commit_watermark = tombstone_commit_watermark
+        self.compact_delta_fraction = compact_delta_fraction
         keys = list(key_columns or ["repo", "path"])
         cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in (target_columns or CDC_TARGET_COLUMNS)]
         have = {c.name for c in cols}
@@ -512,7 +521,8 @@ class ReplayEngine:
                     # writes, then fold
                     while pending:
                         drain_one()
-                    self.compact(min_files=self.compact_threshold)
+                    self.compact(min_files=self.compact_threshold,
+                                 min_delta_fraction=self.compact_delta_fraction)
             while pending:
                 drain_one()
         finally:
@@ -593,7 +603,8 @@ class ReplayEngine:
         )
         if self.mode == "mor" and self.compact_threshold:
             if any(n >= self.compact_threshold for n in self.table.delta_counts().values()):
-                self.compact(min_files=self.compact_threshold)
+                self.compact(min_files=self.compact_threshold,
+                                 min_delta_fraction=self.compact_delta_fraction)
 
         duration_ms = int((time.monotonic() - t0) * 1000)
         self._append_bucket_metrics(batch_id, counters.pop("per_bucket", []))
