@@ -19,8 +19,12 @@ existing rows carry their own (commit, _ingest_offset) order):
 
 The union+window plan shuffles once on the key hash — the same hash the
 bucket layout uses, so at scale the exchange is aligned with the data
-being rewritten. Hot-repo skew is pre-split by salting in the replay
-planner plus AQE skew handling (see ``etl_spark.cdc.replay``).
+being rewritten. Hot-repo skew is handled three ways: the agg kernels'
+map-side partial aggregation collapses a hot key per input partition
+before the shuffle, ``lww_strategy='salted'`` pre-splits each key into
+``SALT_PARTITIONS`` explicit partial groups (for payloads too wide for
+map-side combine to absorb), and AQE skew-join splitting is enabled
+session-wide (``etl_spark.session``).
 """
 
 from __future__ import annotations
@@ -44,6 +48,14 @@ LINEAGE_COLS = ["_ingest_offset", "_ingest_batch"]
 # overhead, so 20M keys ~ hundreds of MB — near the default 8g driver's
 # comfortable limit. Tunable per merge_batch call.
 BROADCAST_KEY_BUDGET = 20_000_000
+
+# lww_strategy='salted': explicit two-stage pre-split — each key is
+# fanned into this many (key, salt) partial groups before the final
+# per-key combine. For workloads whose payload rows are too wide for
+# map-side combine to absorb a hot key (Spark spills the agg buffer and
+# the hot key's rows all cross the shuffle anyway); 16 caps any single
+# reducer at ~1/16 of the hottest key.
+SALT_PARTITIONS = 16
 
 
 def resolve_state(
@@ -172,6 +184,7 @@ def plan_mor_batch(
         and events_upper_bound is not None
         and events_upper_bound <= broadcast_key_budget
     )
+    salt = SALT_PARTITIONS if lww_strategy == "salted" else None
     if broadcast_safe:
         # the winning OFFSET alone identifies the winning event (WAL
         # offsets are globally unique; the fence keeps re-deliveries out
@@ -188,9 +201,14 @@ def plan_mor_batch(
     else:
         # FUSED hash-agg kernel: max_by over full rows — map-side
         # combined, so a hot repo collapses before the shuffle — feeds
-        # the bucket write directly; safe at any batch size
-        lww_path = "agg-fused" if lww_strategy != "broadcast" else "agg-fallback"
-        winners = lww_winners(batch_events, key_columns=keys)
+        # the bucket write directly; safe at any batch size. 'salted'
+        # adds an explicit (key, salt) pre-combine stage for payloads
+        # too wide for map-side combine to absorb.
+        if lww_strategy == "salted":
+            lww_path = "agg-salted"
+        else:
+            lww_path = "agg-fused" if lww_strategy != "broadcast" else "agg-fallback"
+        winners = lww_winners(batch_events, key_columns=keys, salt=salt)
 
     source = _schema_projection(winners, snap, batch_id)
     delta = source.withColumn("_deleted", F.col("__op") == "D").drop("__op")
@@ -373,8 +391,14 @@ def merge_batch(
         # stats/lineage either way. Winners resolve by the TABLE's key
         # columns — a table keyed on other columns must not fall back to
         # the module default.
-        stats["lww_path"] = "agg-fallback" if lww_strategy == "broadcast" else "agg"
-        winners = lww_winners(batch_events, key_columns=keys)
+        if lww_strategy == "salted":
+            stats["lww_path"] = "agg-salted"
+        else:
+            stats["lww_path"] = "agg-fallback" if lww_strategy == "broadcast" else "agg"
+        winners = lww_winners(
+            batch_events, key_columns=keys,
+            salt=SALT_PARTITIONS if lww_strategy == "salted" else None,
+        )
     touched = sorted(stats["buckets"])
 
     # fingerprint new rows before the union (stored rows carry theirs)

@@ -84,7 +84,7 @@ class ReplayEngine:
         ingests, where rewriting every base each ``compact_threshold``
         batches is O(table) write amplification per cycle."""
         assert mode in ("cow", "mor")
-        assert lww_strategy in ("broadcast", "agg")
+        assert lww_strategy in ("broadcast", "agg", "salted")
         self.spark = spark
         self.table_root = table_root
         self.num_buckets = num_buckets

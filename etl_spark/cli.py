@@ -38,10 +38,12 @@ def _build_parser() -> argparse.ArgumentParser:
         sp.add_argument("--mode", choices=["cow", "mor"], default="mor")
         sp.add_argument("--compact-threshold", type=int, default=8)
         sp.add_argument(
-            "--lww-strategy", choices=["broadcast", "agg"], default="broadcast",
+            "--lww-strategy", choices=["broadcast", "agg", "salted"], default="broadcast",
             help="winner kernel: 'broadcast' = thin-agg winner offsets "
             "broadcast-joined back (auto-degrades to the hash agg above "
-            "the key budget); 'agg' = fused map-side-combined hash agg",
+            "the key budget); 'agg' = fused map-side-combined hash agg; "
+            "'salted' = explicit two-stage (key,salt) pre-split for "
+            "payloads too wide for map-side combine to absorb hot keys",
         )
 
     g = sub.add_parser("generate", help="write a synthetic changelog")
