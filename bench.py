@@ -11,8 +11,8 @@ Two sections:
    deterministic synthetic changelog (hot-repo skew, out-of-order
    commits), materialize it to parquet, then replay it through the
    full engine path (LWW -> normalize+sha256 -> bucket merge ->
-   fenced commit) and report events/sec. Event count scales with the
-   benchmark scale factor and can be pinned with ETL_SPARK_BENCH_EVENTS.
+   fenced commit) and report events/sec. Event count is fixed (2M by
+   default, independent of sf) and pinned with ETL_SPARK_BENCH_EVENTS.
 2. **Operator catalog** at $SPARK_GRAFT_SF_DIR (default
    /root/testdata/sf0.1): every `queries()` entry, executed to a noop
    sink so projections/aggregations can't be optimized away.
