@@ -31,6 +31,15 @@ pointer swap + snapshot properties + schema evolution by column id):
   (reference analog: skip-if-already-applied checks,
   ``src/byggesager/byggesager.py:191-197``).
 
+Metadata scale note: each snapshot JSON lists every bucket's file
+entries, so a commit writes O(buckets) metadata (a mor append only ADDS
+O(touched) entries, but the file is rewritten whole). Real Iceberg
+amortizes this with a manifest LIST over immutable per-manifest files so
+a commit rewrites only the changed manifests; at this engine's intended
+bucket counts (10^4-10^5) the whole-file JSON stays in the low MBs and
+``expire_snapshots`` bounds history, which is why the simpler form is
+acceptable here — swap in the Iceberg catalog for the real thing.
+
 Reference analogs: keyed mutable store / check-then-insert upsert
 (``src/capa/capa_data.py:9-24,54-72``), partition-overwrite upsert
 (``src/byggesager/byggesager.py:177-188``), full replace
