@@ -33,7 +33,7 @@ def main() -> None:
     ap.add_argument("--batches", type=int, default=4)
     ap.add_argument("--mode", default="mor")
     ap.add_argument("--content-scale", type=int, default=4)
-    ap.add_argument("--lww", default="agg", choices=["agg", "broadcast"])
+    ap.add_argument("--lww", default="agg", choices=["agg", "broadcast", "salted"])
     ap.add_argument(
         "--depth", type=int, default=2,
         help="replay pipeline depth (1 = sequential: per-batch phases "

@@ -241,6 +241,11 @@ class ReplayEngine:
         if tombstone_commit_watermark is None:
             tombstone_commit_watermark = self.tombstone_commit_watermark
         buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
+        if min_delta_fraction is None:
+            min_delta_fraction = self.compact_delta_fraction
+        # one sizing walk serves BOTH eligibility and fan-out (total =
+        # base + delta per bucket)
+        sizes = self.table.bucket_delta_base_bytes(buckets) if buckets else {}
         if min_delta_fraction is not None and buckets:
             # bytes-aware eligibility (LSM amortization): folding a few
             # tiny deltas into a huge base is O(base) write amplification
@@ -249,7 +254,6 @@ class ReplayEngine:
             # qualifies once its accumulated delta bytes reach the given
             # fraction of its base (a baseless bucket always qualifies),
             # so rewrite cost is amortized against genuinely new data.
-            sizes = self.table.bucket_delta_base_bytes(buckets)
             buckets = [
                 b for b in buckets
                 if sizes[b][0] == 0 or sizes[b][1] >= min_delta_fraction * sizes[b][0]
@@ -269,8 +273,7 @@ class ReplayEngine:
         num_buckets = self.table.current_snapshot().num_buckets
         from etl_spark.table.manifest import compact_fanout
 
-        sizes = self.table.bucket_bytes(buckets, per_bucket=True)
-        k = compact_fanout(max(sizes.values(), default=0))
+        k = compact_fanout(max((sizes[b][0] + sizes[b][1] for b in buckets), default=0))
         old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
         try:
             # agg path: winners exchange doubles as the bucket write
@@ -347,7 +350,13 @@ class ReplayEngine:
                 r["offset"] for r in schema_ops.select("offset").collect()
             )
             ordered = sorted(batches)
-            op_batches: set[int] = set()
+            # batches with no rows in the changelog route through
+            # apply_batch too: its empty-batch path applies pending ops
+            # at/below the current fence, which the pipelined empty-batch
+            # branch does not — sequential parity requires the detour
+            op_batches: set[int] = {
+                b for b in ordered if bounds.get(b, (None, None))[1] is None
+            }
             for o in op_offsets:
                 for b in ordered:
                     hi = bounds.get(b, (None, None))[1]

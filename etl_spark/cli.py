@@ -45,6 +45,20 @@ def _build_parser() -> argparse.ArgumentParser:
             "'salted' = explicit two-stage (key,salt) pre-split for "
             "payloads too wide for map-side combine to absorb hot keys",
         )
+        sp.add_argument(
+            "--tombstone-watermark",
+            help="ingest disorder bound (no future event may carry a "
+            "commit strictly below it): stored tombstones older than it "
+            "are aged out — at cow rewrites and at (auto-)compaction; "
+            "unset = tombstones retained indefinitely",
+        )
+        sp.add_argument(
+            "--compact-delta-fraction", type=float,
+            help="bytes-aware auto-compaction: only fold buckets whose "
+            "delta bytes reach this fraction of their base (LSM "
+            "amortization — the production setting for long-running "
+            "ingests); unset = file-count eligibility only",
+        )
 
     g = sub.add_parser("generate", help="write a synthetic changelog")
     g.add_argument("--out", required=True)
@@ -82,13 +96,6 @@ def _build_parser() -> argparse.ArgumentParser:
         "bytes reach this fraction of their base bytes (LSM "
         "amortization — avoids rewriting a huge base for a few tiny "
         "deltas); unset = file-count eligibility only",
-    )
-    c.add_argument(
-        "--tombstone-watermark",
-        help="commit watermark: tombstones with commit strictly below it "
-        "are aged out (no future event may carry a lower commit); "
-        "without it, winning tombstones are retained so out-of-order "
-        "stragglers cannot resurrect deleted keys",
     )
     common(c)
 
@@ -156,6 +163,8 @@ def main(argv: list[str] | None = None) -> int:
             status_col=args.status_col, mode=args.mode, num_buckets=args.buckets,
             lww_strategy=args.lww_strategy,
             compact_threshold=args.compact_threshold,
+            tombstone_commit_watermark=args.tombstone_watermark,
+            compact_delta_fraction=args.compact_delta_fraction,
         )
         print(json.dumps({
             "applied": [r["batch_id"] for r in results if not r.get("skipped")],
@@ -169,6 +178,8 @@ def main(argv: list[str] | None = None) -> int:
         spark, args.table, num_buckets=args.buckets, mode=args.mode,
         compact_threshold=args.compact_threshold,
         lww_strategy=args.lww_strategy,
+        tombstone_commit_watermark=args.tombstone_watermark,
+        compact_delta_fraction=args.compact_delta_fraction,
     )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
@@ -189,6 +200,8 @@ def main(argv: list[str] | None = None) -> int:
             num_buckets=args.buckets, mode=args.mode,
             compact_threshold=args.compact_threshold,
             lww_strategy=args.lww_strategy,
+            tombstone_commit_watermark=args.tombstone_watermark,
+            compact_delta_fraction=args.compact_delta_fraction,
         )
         print(json.dumps({"fence_offset": engine.fence_offset(),
                           "applied_batches": engine.applied_batches()}))

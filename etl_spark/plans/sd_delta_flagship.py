@@ -96,6 +96,8 @@ def run_sd_delta_flagship(
     num_buckets: int = 8,
     lww_strategy: str = "broadcast",
     compact_threshold: int = 8,
+    tombstone_commit_watermark: str | None = None,
+    compact_delta_fraction: float | None = None,
 ) -> tuple[ReplayEngine, list[dict]]:
     """The full flagship chain; returns (engine, per-batch results).
     Final state via ``engine.read_state()``, run metrics via
@@ -108,6 +110,8 @@ def run_sd_delta_flagship(
         spark, table_root, num_buckets=num_buckets, mode=mode,
         target_columns=FLAGSHIP_COLUMNS,
         lww_strategy=lww_strategy, compact_threshold=compact_threshold,
+        tombstone_commit_watermark=tombstone_commit_watermark,
+        compact_delta_fraction=compact_delta_fraction,
     )
     results = engine.replay(
         prepared,

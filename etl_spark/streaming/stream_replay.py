@@ -40,6 +40,8 @@ def stream_replay(
     mode: str = "cow",
     compact_threshold: int = 8,
     lww_strategy: str = "broadcast",
+    tombstone_commit_watermark: str | None = None,
+    compact_delta_fraction: float | None = None,
 ) -> ReplayEngine:
     """Tail ``changelog_dir`` (parquet WAL files) into the lake table.
     Blocks until the available backlog is drained; returns the engine for
@@ -47,6 +49,8 @@ def stream_replay(
     engine = ReplayEngine(
         spark, table_root, num_buckets=num_buckets, mode=mode,
         compact_threshold=compact_threshold, lww_strategy=lww_strategy,
+        tombstone_commit_watermark=tombstone_commit_watermark,
+        compact_delta_fraction=compact_delta_fraction,
     )
 
     reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)

@@ -112,7 +112,9 @@ class Snapshot:
     current_schema_version: int
     schemas: dict[int, TableSchema]
     num_buckets: int
-    # bucket -> list of {"path": dir, "sv": schema_version}
+    # bucket -> list of {"path": dir, "sv": schema_version,
+    #                      "kind": "base"|"delta"} (kind absent on legacy
+    #                      snapshots — readers fall back to the write-dir tag)
     files: dict[int, list[dict]]
     properties: dict = field(default_factory=dict)
     bucket_fn: str = BUCKET_FN
@@ -359,7 +361,7 @@ class ManifestTable:
             current_schema_version=sv,
             schemas=snap.schemas,
             num_buckets=snap.num_buckets,
-            files={b: [{"path": p, "sv": sv}] for b, p in written.items()},
+            files={b: [{"path": p, "sv": sv, "kind": "base"}] for b, p in written.items()},
             properties={**snap.properties, **(properties_update or {})},
         )
         self._commit(new)
@@ -386,7 +388,7 @@ class ManifestTable:
         for b in buckets:
             files[b] = []  # rewritten (possibly to empty if all rows deleted)
         for b, p in written.items():
-            files[b] = [{"path": p, "sv": sv}]
+            files[b] = [{"path": p, "sv": sv, "kind": "base"}]
         files = {b: es for b, es in files.items() if es}
 
         new = Snapshot(
@@ -442,7 +444,9 @@ class ManifestTable:
         snap = self.current_snapshot()
         files = {b: list(es) for b, es in snap.files.items()}
         for b, p in written.items():
-            files.setdefault(b, []).append({"path": p, "sv": schema_version})
+            files.setdefault(b, []).append(
+                {"path": p, "sv": schema_version, "kind": "delta"}
+            )
         new = Snapshot(
             version=snap.version + 1,
             current_schema_version=snap.current_schema_version,
@@ -459,6 +463,28 @@ class ManifestTable:
         snap = self.current_snapshot()
         return {b: len(es) for b, es in snap.files.items()}
 
+    @staticmethod
+    def _dir_bytes(d: str) -> int:
+        """On-disk bytes of one manifest-listed data dir (local metadata
+        walk; a production manifest would carry per-file sizes, making
+        every sizing call here a pure-metadata read)."""
+        n = 0
+        if os.path.isdir(d):
+            for f in os.listdir(d):
+                if not f.startswith(("_", ".")):
+                    n += os.path.getsize(os.path.join(d, f))
+        return n
+
+    @staticmethod
+    def _entry_is_delta(e: dict) -> bool:
+        """Explicit ``kind`` tag recorded at write time; legacy snapshots
+        (no kind field) fall back to the write-dir tag that
+        ``_write_bucketed`` has always embedded in the dir name."""
+        kind = e.get("kind")
+        if kind is not None:
+            return kind == "delta"
+        return "-dl-" in os.path.basename(os.path.dirname(e["path"]))
+
     def bucket_bytes(
         self,
         buckets: list[int] | None = None,
@@ -467,35 +493,25 @@ class ManifestTable:
     ) -> int | dict[int, int]:
         """On-disk bytes of the given buckets' data files — a total, or
         a {bucket: bytes} map with ``per_bucket=True`` (the fan-out
-        sizing needs the max, not the sum, under bucket-size skew).
-        Walks the manifest-listed dirs (local metadata; a production
-        manifest would carry per-file sizes, making this a
-        pure-metadata read)."""
+        sizing needs the max, not the sum, under bucket-size skew)."""
         snap = snapshot or self.current_snapshot()
         sel = set(buckets) if buckets is not None else None
         sizes: dict[int, int] = {}
         for b, entries in snap.files.items():
             if sel is not None and b not in sel:
                 continue
-            n = 0
-            for e in entries:
-                d = e["path"]
-                if os.path.isdir(d):
-                    for f in os.listdir(d):
-                        if not f.startswith(("_", ".")):
-                            n += os.path.getsize(os.path.join(d, f))
-            sizes[b] = n
+            sizes[b] = sum(self._dir_bytes(e["path"]) for e in entries)
         return sizes if per_bucket else sum(sizes.values())
 
     def bucket_delta_base_bytes(
         self, buckets: list[int] | None = None, snapshot: Snapshot | None = None
     ) -> dict[int, tuple[int, int]]:
-        """{bucket: (base_bytes, delta_bytes)} — delta entries are the
-        ones appended by ``write_delta_files`` (write-dir tag ``dl``);
-        everything else (rewrite ``mg`` / overwrite ``ow``) is base.
-        Drives bytes-aware compaction eligibility: rewriting a huge base
-        to fold a few tiny deltas is O(table) write amplification per
-        cycle, the classic LSM amortization problem."""
+        """{bucket: (base_bytes, delta_bytes)} — classified by each
+        entry's recorded ``kind`` (``write_delta_files`` appends tag
+        'delta'; rewrite/overwrite tag 'base'). Drives bytes-aware
+        compaction eligibility: rewriting a huge base to fold a few tiny
+        deltas is O(table) write amplification per cycle, the classic
+        LSM amortization problem."""
         snap = snapshot or self.current_snapshot()
         sel = set(buckets) if buckets is not None else None
         out: dict[int, tuple[int, int]] = {}
@@ -504,13 +520,8 @@ class ManifestTable:
                 continue
             base = delta = 0
             for e in entries:
-                d = e["path"]
-                n = 0
-                if os.path.isdir(d):
-                    for f in os.listdir(d):
-                        if not f.startswith(("_", ".")):
-                            n += os.path.getsize(os.path.join(d, f))
-                if "-dl-" in os.path.basename(os.path.dirname(d)):
+                n = self._dir_bytes(e["path"])
+                if self._entry_is_delta(e):
                     delta += n
                 else:
                     base += n

@@ -1,0 +1,82 @@
+"""Smoke tests of the spark-submit CLI surface (``etl_spark.cli.main``).
+
+The CLI is the production entry point the north rule names; these tests
+drive each subcommand end-to-end in-process (build_session reuses the
+active test session) and assert that every advertised flag actually
+reaches the engine — a --lww-strategy/--compact-threshold that parses
+but is silently ignored must fail here.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from etl_spark.cli import main
+
+
+@pytest.fixture(scope="module")
+def cli_dirs(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    wal = str(root / "wal")
+    rc = main(["generate", "--out", wal, "--events", "2000", "--batches", "3",
+               "--repos", "4", "--paths-per-repo", "10"])
+    assert rc == 0
+    return root, wal
+
+
+def test_cli_generate_replay_state_metrics(spark, capsys, cli_dirs):
+    root, wal = cli_dirs
+    table = str(root / "t1")
+    rc = main(["replay", "--changelog", wal, "--table", table, "--mode", "mor",
+               "--lww-strategy", "salted", "--tombstone-watermark", "c000",
+               "--compact-delta-fraction", "0.2"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] == [0, 1, 2]
+
+    rc = main(["state", "--table", table])
+    assert rc == 0
+    state = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert state["rows"] > 0
+
+    rc = main(["metrics", "--table", table])
+    assert rc == 0
+    lines = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert sorted(r["batch_id"] for r in lines) == [0, 1, 2]
+
+
+def test_cli_flags_reach_engine(spark, capsys, cli_dirs, monkeypatch):
+    """Every common() flag must land on the constructed ReplayEngine."""
+    root, wal = cli_dirs
+    seen = {}
+    import etl_spark.cdc.replay as replay_mod
+
+    orig = replay_mod.ReplayEngine.__init__
+
+    def spy(self, *a, **kw):
+        seen.update(kw)
+        return orig(self, *a, **kw)
+
+    monkeypatch.setattr(replay_mod.ReplayEngine, "__init__", spy)
+    rc = main(["replay", "--changelog", wal, "--table", str(root / "t2"),
+               "--mode", "mor", "--lww-strategy", "agg",
+               "--compact-threshold", "5", "--tombstone-watermark", "c123",
+               "--compact-delta-fraction", "0.3"])
+    assert rc == 0
+    capsys.readouterr()
+    assert seen["lww_strategy"] == "agg"
+    assert seen["compact_threshold"] == 5
+    assert seen["tombstone_commit_watermark"] == "c123"
+    assert seen["compact_delta_fraction"] == 0.3
+
+
+def test_cli_compact_flags(spark, capsys, cli_dirs):
+    root, wal = cli_dirs
+    table = str(root / "t1")  # built by the replay test above
+    rc = main(["compact", "--table", table, "--min-files", "1",
+               "--min-delta-fraction", "0.0", "--tombstone-watermark", "c000"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert isinstance(out["compacted_buckets"], list)
