@@ -589,7 +589,12 @@ class ManifestTable:
         tail the table itself (the lake-as-changelog pattern). Under
         copy-on-write the added files are whole rewritten buckets, so the
         result is the post-image of every touched bucket, not row-level
-        deltas — still useful for bucket-granular incremental syncs."""
+        deltas — still useful for bucket-granular incremental syncs.
+        In BOTH modes rows may carry ``_deleted = true`` (cow retains
+        winning tombstones in the rewritten bucket so out-of-order
+        stragglers cannot resurrect keys): consumers materializing live
+        state must filter on it; consumers propagating deletes use it as
+        the delete marker."""
         to_snap = self.snapshot_at(to_version)
         target = to_snap.schema
         groups: dict[int, list[str]] = {}
