@@ -70,6 +70,7 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "dedup_exact": (D.dedup_exact, D.DEDUP_EXACT_SQL),
     "ngram_jaccard_pairs": (D.ngram_jaccard_pairs, D.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (D.minhash_lsh_pairs, D.MINHASH_LSH_SQL),
+    "near_dup_clusters": (D.near_dup_clusters, D.NEAR_DUP_CLUSTERS_SQL),
     "simhash_fingerprints": (D.simhash_fingerprints, D.SIMHASH_SQL),
     # --- similarity search ---
     "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),

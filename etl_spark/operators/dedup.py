@@ -363,3 +363,88 @@ SELECT doc_id,
 FROM votes
 GROUP BY doc_id
 """
+
+
+# bounded min-label propagation for near-dup components: iterations
+# needed = component diameter, and verified near-dup components are
+# dense (every member pairs with most others), so diameters are tiny.
+# The guard raises on non-convergence rather than returning a partial
+# clustering. At extreme corpus scale, swap the propagation loop for
+# alternating large-star/small-star (Kiveris et al., "Connected
+# Components in MapReduce"), which converges in O(log n) rounds with the
+# same per-round join shape.
+MAX_CC_ITERATIONS = 20
+
+
+def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """Connected components over the verified MinHash-LSH near-dup graph
+    (``minhash_lsh_pairs``): every document appearing in at least one
+    pair gets ``cluster_id`` = the smallest ``doc_id`` in its component.
+
+    A training-data pipeline consumes PAIRS poorly — dedup keeps ONE
+    canonical doc per duplicate CLUSTER, so pairs must be folded into
+    components first (reference analog: none; this is pipeline
+    infrastructure the pair ops imply). Min-label propagation: each
+    round every vertex takes the min label among itself and its
+    neighbors — one shuffle join + one map-side-combined min agg per
+    round, no driver-side graph state beyond the converged flag."""
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    edges = pairs.unionByName(
+        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).persist()
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    labels.count()
+    for _ in range(MAX_CC_ITERATIONS):
+        neigh = (
+            edges.join(labels, edges["doc_b"] == labels["doc_id"])
+            .groupBy("doc_a")
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
+            .select(
+                labels["doc_id"],
+                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
+                    "cluster_id"
+                ),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            edges.unpersist()
+            return labels.select("doc_id", "cluster_id")
+    raise RuntimeError(
+        f"near_dup_clusters did not converge in {MAX_CC_ITERATIONS} rounds "
+        "— component diameter exceeds the bound; use star-contraction"
+    )
+
+
+NEAR_DUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_SQL}),
+edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+),
+reach AS (
+  SELECT s AS doc_id, d AS r FROM edges
+  UNION
+  SELECT reach.doc_id, e.d FROM reach JOIN edges e ON reach.r = e.s
+)
+SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id
+FROM reach
+GROUP BY doc_id
+"""
