@@ -71,6 +71,7 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "ngram_jaccard_pairs": (D.ngram_jaccard_pairs, D.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (D.minhash_lsh_pairs, D.MINHASH_LSH_SQL),
     "near_dup_clusters": (D.near_dup_clusters, D.NEAR_DUP_CLUSTERS_SQL),
+    "dedup_keep_canonical": (D.dedup_keep_canonical, D.DEDUP_KEEP_CANONICAL_SQL),
     "simhash_fingerprints": (D.simhash_fingerprints, D.SIMHASH_SQL),
     # --- similarity search ---
     "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),

@@ -448,3 +448,34 @@ SELECT doc_id, LEAST(doc_id, MIN(r)) AS cluster_id
 FROM reach
 GROUP BY doc_id
 """
+
+
+def dedup_keep_canonical(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+    """The consumer-facing dedup result: one canonical document per
+    near-dup cluster (the cluster's min ``doc_id``), singletons kept
+    as-is, each with its ``cluster_size``. This is the row set a
+    training pipeline actually feeds downstream after
+    ``near_dup_clusters``; the corpus-sized side joins the (small)
+    cluster map, so the only wide operation is one count aggregation."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    clusters = near_dup_clusters(spark, sf_dir, threshold)
+    labeled = docs.join(clusters, "doc_id", "left").select(
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
+    )
+    return (
+        labeled.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("cluster_size"))
+        .select(F.col("cluster_id").alias("doc_id"), "cluster_size")
+    )
+
+
+DEDUP_KEEP_CANONICAL_SQL = f"""
+WITH clusters AS ({NEAR_DUP_CLUSTERS_SQL}),
+labeled AS (
+  SELECT COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+  FROM documents d LEFT JOIN clusters c ON d.doc_id = c.doc_id
+)
+SELECT cluster_id AS doc_id, COUNT(*) AS cluster_size
+FROM labeled
+GROUP BY cluster_id
+"""
