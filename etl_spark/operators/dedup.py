@@ -388,7 +388,10 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     round every vertex takes the min label among itself and its
     neighbors — one shuffle join + one map-side-combined min agg per
     round, no driver-side graph state beyond the converged flag."""
-    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    # persist the verified pairs BEFORE the symmetrizing union: both
+    # union branches reference them, and unpersisted they would run the
+    # whole minhash+verify computation twice
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b").persist()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
     ).persist()
@@ -398,7 +401,23 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
         .withColumn("cluster_id", F.col("doc_id"))
         .persist()
     )
-    labels.count()
+    n_vertices = labels.count()
+    # the loop's frames are pair-graph-sized (docs IN near-dup pairs),
+    # far smaller than the corpus — size its shuffles to the measured
+    # vertex count instead of the session default, or every round pays
+    # full-width task overhead on a few hundred rows (persist
+    # boundaries keep AQE from coalescing across rounds)
+    sess = labels.sparkSession
+    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(old_sp), -(-n_vertices // 100_000)))
+    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        return _propagate_labels(edges, labels, pairs)
+    finally:
+        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+
+
+def _propagate_labels(edges: DataFrame, labels: DataFrame, pairs: DataFrame) -> DataFrame:
     for _ in range(MAX_CC_ITERATIONS):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -425,6 +444,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
         labels = new_labels
         if changed == 0:
             edges.unpersist()
+            pairs.unpersist()
             return labels.select("doc_id", "cluster_id")
     raise RuntimeError(
         f"near_dup_clusters did not converge in {MAX_CC_ITERATIONS} rounds "
