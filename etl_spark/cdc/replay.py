@@ -62,6 +62,7 @@ class ReplayEngine:
         key_columns: list[str] | None = None,
         tombstone_commit_watermark: str | None = None,
         compact_delta_fraction: float | None = None,
+        compact_sort: bool = True,
     ):
         """``target_columns``/``key_columns`` customize the v1 table shape
         (default: the north-rule source-code schema keyed on (repo,
@@ -82,7 +83,15 @@ class ReplayEngine:
         fraction of their base (see ``compact``'s
         ``min_delta_fraction``) — the production setting for long-running
         ingests, where rewriting every base each ``compact_threshold``
-        batches is O(table) write amplification per cycle."""
+        batches is O(table) write amplification per cycle.
+
+        ``compact_sort``: compaction rewrites sort each output file by
+        the key columns (``sortWithinPartitions`` — a per-task sort, no
+        extra exchange). Sorted files give every parquet row group a
+        tight key min/max range, so pushed key predicates (point
+        lookups, ``read_state(where=...)``) skip row groups inside the
+        key's bucket — the Iceberg sort-order analog. The one-time sort
+        cost is paid at compaction where it amortizes over reads."""
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg", "salted")
         self.spark = spark
@@ -98,6 +107,7 @@ class ReplayEngine:
         )
         self.tombstone_commit_watermark = tombstone_commit_watermark
         self.compact_delta_fraction = compact_delta_fraction
+        self.compact_sort = compact_sort
         keys = list(key_columns or ["repo", "path"])
         cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in (target_columns or CDC_TARGET_COLUMNS)]
         have = {c.name for c in cols}
@@ -189,20 +199,51 @@ class ReplayEngine:
         )
         pq.write_table(table, os.path.join(d, f"batch-{batch_id:08d}.parquet"))
 
-    def read_state(self) -> DataFrame:
+    def read_state(self, where: list[tuple] | None = None) -> DataFrame:
         """Current table state. In mor mode, resolves base+delta files
         with the same LWW rule the merge uses and drops tombstones; in
-        cow mode files already hold exactly one live row per key."""
+        cow mode files already hold exactly one live row per key.
+
+        ``where`` (``[(col, op, value)]``, see ``ManifestTable.read``)
+        turns on manifest-stats data skipping. The predicate list is
+        SPLIT for mor correctness: key-column predicates push into the
+        pruned scan (every row of a key shares its key values, so whole
+        key groups survive or drop together — filtering commutes with
+        per-key LWW resolution), while value-column predicates prune the
+        scan only in cow mode (files already resolved) and otherwise
+        apply AFTER resolution — a value predicate pushed below the
+        resolve could drop a key's winning row and resurrect an older
+        one."""
         from etl_spark.cdc.merge import resolve_state
 
-        raw = self.table.read()
+        preds = list(where or [])
+        keyset = set(self.table.key_columns)
+        key_preds = [p for p in preds if p[0] in keyset]
+        rest = [p for p in preds if p[0] not in keyset]
         if self.mode == "mor":
+            raw = self.table.read(where=key_preds or None)
             # read path always resolves with the hash-agg kernel: the
             # winner set here is ALL live keys (grows with the table, not
             # the batch), so the merge-side broadcast strategy must not
             # leak into reads — see resolve_state's docstring
-            return resolve_state(raw, key_columns=self.table.key_columns).drop("_deleted")
+            out = resolve_state(raw, key_columns=self.table.key_columns).drop("_deleted")
+            if rest:
+                out = out.filter(ManifestTable._where_to_column(rest))
+            return out
+        raw = self.table.read(where=preds or None)
         return raw.filter(~F.col("_deleted")).drop("_deleted")
+
+    def lookup(self, **key_values) -> DataFrame:
+        """Point lookup: the current live row for one fully-specified
+        key. Plans a SINGLE bucket (the key's hash bucket) and prunes
+        its entries by recorded stats before Spark ever sees a file —
+        the O(1-bucket) read path a 100 TB table needs for key probes."""
+        missing = [k for k in self.table.key_columns if k not in key_values]
+        if missing:
+            raise ValueError(f"lookup requires all key columns; missing {missing}")
+        return self.read_state(
+            where=[(k, "=", key_values[k]) for k in self.table.key_columns]
+        )
 
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
         """Incremental change feed FROM the table (C1 as a table-side
@@ -281,7 +322,10 @@ class ReplayEngine:
             # (the repartition in the writer pins the same count on the
             # same keys, so Catalyst elides it — content crosses once)
             self.spark.conf.set("spark.sql.shuffle.partitions", str(num_buckets * k))
-            self.table.rewrite_buckets(buckets, resolved, files_per_bucket=k)
+            self.table.rewrite_buckets(
+                buckets, resolved, files_per_bucket=k,
+                sort_columns=self.table.key_columns if self.compact_sort else None,
+            )
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
         return buckets

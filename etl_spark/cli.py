@@ -59,6 +59,13 @@ def _build_parser() -> argparse.ArgumentParser:
             "amortization — the production setting for long-running "
             "ingests); unset = file-count eligibility only",
         )
+        sp.add_argument(
+            "--no-compact-sort", dest="compact_sort", action="store_false",
+            help="skip the per-file key sort at compaction (sorted files "
+            "give parquet row groups tight key min/max ranges, so point "
+            "lookups skip row groups — disable only if compaction CPU "
+            "is the bottleneck)",
+        )
 
     g = sub.add_parser("generate", help="write a synthetic changelog")
     g.add_argument("--out", required=True)
@@ -165,6 +172,7 @@ def main(argv: list[str] | None = None) -> int:
             compact_threshold=args.compact_threshold,
             tombstone_commit_watermark=args.tombstone_watermark,
             compact_delta_fraction=args.compact_delta_fraction,
+            compact_sort=args.compact_sort,
         )
         print(json.dumps({
             "applied": [r["batch_id"] for r in results if not r.get("skipped")],
@@ -180,6 +188,7 @@ def main(argv: list[str] | None = None) -> int:
         lww_strategy=args.lww_strategy,
         tombstone_commit_watermark=args.tombstone_watermark,
         compact_delta_fraction=args.compact_delta_fraction,
+        compact_sort=args.compact_sort,
     )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
@@ -202,6 +211,7 @@ def main(argv: list[str] | None = None) -> int:
             lww_strategy=args.lww_strategy,
             tombstone_commit_watermark=args.tombstone_watermark,
             compact_delta_fraction=args.compact_delta_fraction,
+            compact_sort=args.compact_sort,
         )
         print(json.dumps({"fence_offset": engine.fence_offset(),
                           "applied_batches": engine.applied_batches()}))

@@ -98,6 +98,7 @@ def run_sd_delta_flagship(
     compact_threshold: int = 8,
     tombstone_commit_watermark: str | None = None,
     compact_delta_fraction: float | None = None,
+    compact_sort: bool = True,
 ) -> tuple[ReplayEngine, list[dict]]:
     """The full flagship chain; returns (engine, per-batch results).
     Final state via ``engine.read_state()``, run metrics via
@@ -112,6 +113,7 @@ def run_sd_delta_flagship(
         lww_strategy=lww_strategy, compact_threshold=compact_threshold,
         tombstone_commit_watermark=tombstone_commit_watermark,
         compact_delta_fraction=compact_delta_fraction,
+        compact_sort=compact_sort,
     )
     results = engine.replay(
         prepared,

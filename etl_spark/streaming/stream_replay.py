@@ -42,6 +42,7 @@ def stream_replay(
     lww_strategy: str = "broadcast",
     tombstone_commit_watermark: str | None = None,
     compact_delta_fraction: float | None = None,
+    compact_sort: bool = True,
 ) -> ReplayEngine:
     """Tail ``changelog_dir`` (parquet WAL files) into the lake table.
     Blocks until the available backlog is drained; returns the engine for
@@ -51,6 +52,7 @@ def stream_replay(
         compact_threshold=compact_threshold, lww_strategy=lww_strategy,
         tombstone_commit_watermark=tombstone_commit_watermark,
         compact_delta_fraction=compact_delta_fraction,
+        compact_sort=compact_sort,
     )
 
     reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)

@@ -56,7 +56,14 @@ from dataclasses import dataclass, field
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from etl_spark.table.stats import collect_dir_stats, entry_excludes
+
 _BUCKET_COL = "__bucket"
+
+# File-entry statistics (bytes / rows / per-column min-max) are recorded
+# at commit time for data skipping; disable only to reproduce legacy
+# (pre-stats) snapshots in tests.
+RECORD_STATS = os.environ.get("ETL_SPARK_RECORD_STATS", "1") != "0"
 
 # Recorded in every snapshot. A table written under a different bucket
 # function would silently route cow merges to the wrong buckets (stale
@@ -280,17 +287,107 @@ class ManifestTable:
                 cols.append(F.lit(c.default).cast(c.type).alias(c.name))
         return df.select(*cols)
 
-    def read(self, buckets: list[int] | None = None, snapshot: Snapshot | None = None) -> DataFrame:
+    def bucket_for_key(self, values: dict, snapshot: Snapshot | None = None) -> int:
+        """The bucket a fully-specified key routes to — computed by the
+        JVM's own ``hash``/``pmod`` on typed literals (constant-folded,
+        no job, no Python workers), so it is the bucket ``bucket_expr``
+        assigns by construction."""
+        snap = snapshot or self.current_snapshot()
+        types = {c.name: c.type for c in snap.schema.columns}
+        casts = ", ".join(
+            f"CAST(:k{i} AS {types[k]})" for i, k in enumerate(self.key_columns)
+        )
+        args = {f"k{i}": values[k] for i, k in enumerate(self.key_columns)}
+        return self.spark.sql(
+            f"SELECT pmod(hash({casts}), {snap.num_buckets})", args=args
+        ).first()[0]
+
+    def _key_bucket_from_where(self, snap: Snapshot, preds: list[tuple]) -> int | None:
+        """If equality predicates pin EVERY key column to a literal, the
+        scan can be narrowed to the single bucket that key hashes to."""
+        eq = {c: v for c, op, v in preds if op == "=" and c in self.key_columns}
+        if set(eq) != set(self.key_columns):
+            return None
+        return self.bucket_for_key(eq, snapshot=snap)
+
+    def _entry_prunable(self, e: dict, preds: list[tuple], snap: Snapshot) -> bool:
+        """True iff the entry's recorded stats PROVE no row can satisfy
+        the conjunction. Stats are keyed by column id; a column ADDED
+        after the entry was written has the same default value on every
+        row the reader projects, so the default decides the predicate
+        for the whole entry (null default + null-rejecting predicate =
+        always prunable)."""
+        cur_by_name = {c.name: c for c in snap.schema.columns}
+        sv_ids = set(snap.schemas[e["sv"]].by_id())
+        for col, op, v in preds:
+            c = cur_by_name.get(col)
+            if c is None:
+                continue
+            if c.id not in sv_ids:
+                if c.default is None:
+                    return True
+                if entry_excludes({"min": c.default, "max": c.default}, op, v):
+                    return True
+                continue
+            if entry_excludes(e.get("stats", {}).get(str(c.id)), op, v):
+                return True
+        return False
+
+    @staticmethod
+    def _where_to_column(preds: list[tuple]):
+        """The residual Spark filter for a normalized predicate list —
+        applied to every surviving entry so results NEVER depend on
+        pruning, and pushed by Spark down to parquet row-group stats."""
+        out = None
+        for col, op, v in preds:
+            c = F.col(col)
+            expr = {
+                "=": lambda: c == F.lit(v),
+                "<": lambda: c < F.lit(v),
+                "<=": lambda: c <= F.lit(v),
+                ">": lambda: c > F.lit(v),
+                ">=": lambda: c >= F.lit(v),
+                "in": lambda: c.isin(list(v)),
+            }[op]()
+            out = expr if out is None else (out & expr)
+        return out
+
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        snapshot: Snapshot | None = None,
+        where: list[tuple] | None = None,
+    ) -> DataFrame:
         """Read current state (optionally only the given buckets),
-        projected to the current schema."""
+        projected to the current schema.
+
+        ``where``: optional conjunctive predicates ``[(col, op, value)]``
+        with op in ``= < <= > >= in`` — used to PRUNE whole file entries
+        from the recorded min/max stats before Spark ever plans the scan
+        (and to narrow to one bucket when all key columns are pinned by
+        equality), then re-applied as a residual filter. This is a RAW
+        read (base+delta rows under mor): only predicates over the KEY
+        columns commute with downstream LWW resolution — a value
+        predicate could drop a key's winning row while keeping an older
+        one. ``Engine.read_state(where=...)`` enforces that split;
+        callers of this method must do the same."""
         snap = snapshot or self.current_snapshot()
         target = snap.schema
+        preds = list(where or [])
+        unknown = [c for c, _, _ in preds if c not in set(target.names())]
+        if unknown:
+            raise ValueError(f"where references unknown columns: {unknown}")
         groups: dict[int, list[str]] = {}
         bucket_set = set(buckets) if buckets is not None else None
+        kb = self._key_bucket_from_where(snap, preds) if preds else None
+        if kb is not None:
+            bucket_set = {kb} if bucket_set is None else bucket_set & {kb}
         for b, entries in snap.files.items():
             if bucket_set is not None and b not in bucket_set:
                 continue
             for e in entries:
+                if preds and self._entry_prunable(e, preds, snap):
+                    continue
                 groups.setdefault(e["sv"], []).append(e["path"])
         if not groups:
             return self.spark.createDataFrame([], target.ddl())
@@ -301,13 +398,15 @@ class ManifestTable:
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)
+        if preds:
+            out = out.filter(self._where_to_column(preds))
         return out
 
     # ---------- write ----------
 
     def _write_bucketed(
         self, df: DataFrame, snap: Snapshot, tag: str, post_shuffle=None,
-        files_per_bucket: int = 1,
+        files_per_bucket: int = 1, sort_within: list[str] | None = None,
     ) -> dict[int, str]:
         """Write df partitioned by key bucket. Returns {bucket: dir} for
         buckets that received rows. The bucket function is the table's
@@ -341,6 +440,13 @@ class ManifestTable:
         out = out.repartition(snap.num_buckets * k, *[F.col(c) for c in self.key_columns])
         if post_shuffle is not None:
             out = post_shuffle(out)
+        if sort_within:
+            # per-TASK sort (no extra exchange): each parquet file comes
+            # out key-ordered, so its ROW GROUPS carry tight min/max
+            # ranges the reader's pushed predicates skip on — the Iceberg
+            # sort-order analog, applied at compaction where the one-time
+            # sort cost amortizes over every subsequent read
+            out = out.sortWithinPartitions(*sort_within)
         out = out.select(*snap.schema.names(), _BUCKET_COL)
         out.write.partitionBy(_BUCKET_COL).mode("overwrite").parquet(write_dir)
         result: dict[int, str] = {}
@@ -350,6 +456,49 @@ class ManifestTable:
                     b = int(entry.split("=", 1)[1])
                     result[b] = os.path.join(write_dir, entry)
         return result
+
+    def _stats_columns(self, snap: Snapshot) -> list[str]:
+        """Columns tracked for file-entry min/max statistics: the key
+        columns plus any listed in the ``stats_columns`` table property
+        (comma-separated, current-schema names)."""
+        extra = [
+            c.strip()
+            for c in snap.properties.get("stats_columns", "").split(",")
+            if c.strip()
+        ]
+        return list(dict.fromkeys(self.key_columns + extra))
+
+    def _entries(
+        self, written: dict[int, str], sv: int, kind: str, snap: Snapshot
+    ) -> dict[int, dict]:
+        """Build manifest file entries for freshly-written bucket dirs,
+        recording bytes / rows / per-column min-max from parquet FOOTER
+        metadata (``stats.collect_dir_stats`` — no data pages read).
+        Stats are keyed by COLUMN ID so they survive renames; cost is
+        O(touched buckets) footer reads per commit, never table-sized."""
+        base = {"sv": sv, "kind": kind}
+        if not RECORD_STATS:
+            return {b: {"path": p, **base} for b, p in written.items()}
+        sv_by_id = snap.schemas[sv].by_id()
+        cur_by_name = {c.name: c for c in snap.schema.columns}
+        file_name_to_id = {}
+        for name in self._stats_columns(snap):
+            c = cur_by_name.get(name)
+            if c is not None and c.id in sv_by_id:
+                file_name_to_id[sv_by_id[c.id].name] = c.id
+        out: dict[int, dict] = {}
+        for b, p in written.items():
+            s = collect_dir_stats(p, list(file_name_to_id))
+            out[b] = {
+                "path": p,
+                **base,
+                "bytes": s["bytes"],
+                "rows": s["rows"],
+                "stats": {
+                    str(file_name_to_id[n]): v for n, v in s["stats"].items()
+                },
+            }
+        return out
 
     def overwrite(self, df: DataFrame, properties_update: dict | None = None) -> Snapshot:
         """Full-table replace (reference K2: ``to_sql(if_exists='replace')``)."""
@@ -361,7 +510,7 @@ class ManifestTable:
             current_schema_version=sv,
             schemas=snap.schemas,
             num_buckets=snap.num_buckets,
-            files={b: [{"path": p, "sv": sv, "kind": "base"}] for b, p in written.items()},
+            files={b: [e] for b, e in self._entries(written, sv, "base", snap).items()},
             properties={**snap.properties, **(properties_update or {})},
         )
         self._commit(new)
@@ -373,6 +522,7 @@ class ManifestTable:
         df: DataFrame,
         properties_update: dict | None = None,
         files_per_bucket: int = 1,
+        sort_columns: list[str] | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: replace the given buckets with ``df``
         (which must contain only rows belonging to those buckets, in the
@@ -382,13 +532,14 @@ class ManifestTable:
         snap = self.current_snapshot()
         sv = snap.current_schema_version
         written = self._write_bucketed(
-            df.select(*snap.schema.names()), snap, "mg", files_per_bucket=files_per_bucket
+            df.select(*snap.schema.names()), snap, "mg",
+            files_per_bucket=files_per_bucket, sort_within=sort_columns,
         )
         files = {b: list(es) for b, es in snap.files.items()}
         for b in buckets:
             files[b] = []  # rewritten (possibly to empty if all rows deleted)
-        for b, p in written.items():
-            files[b] = [{"path": p, "sv": sv, "kind": "base"}]
+        for b, e in self._entries(written, sv, "base", snap).items():
+            files[b] = [e]
         files = {b: es for b, es in files.items() if es}
 
         new = Snapshot(
@@ -421,32 +572,45 @@ class ManifestTable:
     def write_delta_files(
         self, df: DataFrame, snap: Snapshot, post_shuffle=None,
         files_per_bucket: int = 1,
-    ) -> dict[int, str]:
+    ) -> dict[int, dict]:
         """The WRITE half of ``append_buckets`` — data files land on disk
         but no snapshot references them yet (invisible; orphan-vacuumed
         by ``expire_snapshots`` if never committed). Split out so the
         replay loop can run the write of batch N+1 concurrently with
         batch N while keeping snapshot COMMITS strictly ordered —
-        exactly Iceberg's write-then-commit protocol."""
-        return self._write_bucketed(
+        exactly Iceberg's write-then-commit protocol.
+
+        Returns PREPARED manifest entries (bytes/rows/min-max stats read
+        from the fresh parquet footers) so the pipelined replay pays the
+        stats cost in the overlapped write phase, not on the serialized
+        commit path."""
+        written = self._write_bucketed(
             df, snap, "dl", post_shuffle=post_shuffle, files_per_bucket=files_per_bucket
         )
+        return self._entries(written, snap.current_schema_version, "delta", snap)
 
     def commit_appended(
-        self, written: dict[int, str], schema_version: int,
+        self, written: dict[int, str | dict], schema_version: int,
         properties_update: dict | None = None,
     ) -> Snapshot:
         """The COMMIT half of ``append_buckets``: atomically publish
         already-written delta files under the CURRENT snapshot (which may
         be newer than the one the files were planned against — safe
         because appends touch no existing files; callers must not
-        interleave schema evolution with in-flight writes)."""
+        interleave schema evolution with in-flight writes).
+
+        ``written`` values are either prepared entries from
+        ``write_delta_files`` (stats already collected) or bare dir
+        paths (stats collected here)."""
         snap = self.current_snapshot()
+        raw = {b: v for b, v in written.items() if isinstance(v, str)}
+        entries = {
+            **self._entries(raw, schema_version, "delta", snap),
+            **{b: v for b, v in written.items() if not isinstance(v, str)},
+        }
         files = {b: list(es) for b, es in snap.files.items()}
-        for b, p in written.items():
-            files.setdefault(b, []).append(
-                {"path": p, "sv": schema_version, "kind": "delta"}
-            )
+        for b, e in entries.items():
+            files.setdefault(b, []).append(e)
         new = Snapshot(
             version=snap.version + 1,
             current_schema_version=snap.current_schema_version,
@@ -466,14 +630,22 @@ class ManifestTable:
     @staticmethod
     def _dir_bytes(d: str) -> int:
         """On-disk bytes of one manifest-listed data dir (local metadata
-        walk; a production manifest would carry per-file sizes, making
-        every sizing call here a pure-metadata read)."""
+        walk — the fallback for legacy entries written before byte counts
+        were recorded in the manifest)."""
         n = 0
         if os.path.isdir(d):
             for f in os.listdir(d):
                 if not f.startswith(("_", ".")):
                     n += os.path.getsize(os.path.join(d, f))
         return n
+
+    @classmethod
+    def _entry_bytes(cls, e: dict) -> int:
+        """Bytes of one file entry: the size recorded at commit time (a
+        pure metadata read — what every sizing decision should cost at
+        100 TB), falling back to a directory walk for legacy entries."""
+        b = e.get("bytes")
+        return b if b is not None else cls._dir_bytes(e["path"])
 
     @staticmethod
     def _entry_is_delta(e: dict) -> bool:
@@ -500,7 +672,7 @@ class ManifestTable:
         for b, entries in snap.files.items():
             if sel is not None and b not in sel:
                 continue
-            sizes[b] = sum(self._dir_bytes(e["path"]) for e in entries)
+            sizes[b] = sum(self._entry_bytes(e) for e in entries)
         return sizes if per_bucket else sum(sizes.values())
 
     def bucket_delta_base_bytes(
@@ -520,7 +692,7 @@ class ManifestTable:
                 continue
             base = delta = 0
             for e in entries:
-                n = self._dir_bytes(e["path"])
+                n = self._entry_bytes(e)
                 if self._entry_is_delta(e):
                     delta += n
                 else:

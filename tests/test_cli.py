@@ -63,13 +63,14 @@ def test_cli_flags_reach_engine(spark, capsys, cli_dirs, monkeypatch):
     rc = main(["replay", "--changelog", wal, "--table", str(root / "t2"),
                "--mode", "mor", "--lww-strategy", "agg",
                "--compact-threshold", "5", "--tombstone-watermark", "c123",
-               "--compact-delta-fraction", "0.3"])
+               "--compact-delta-fraction", "0.3", "--no-compact-sort"])
     assert rc == 0
     capsys.readouterr()
     assert seen["lww_strategy"] == "agg"
     assert seen["compact_threshold"] == 5
     assert seen["tombstone_commit_watermark"] == "c123"
     assert seen["compact_delta_fraction"] == 0.3
+    assert seen["compact_sort"] is False
 
 
 def test_cli_compact_flags(spark, capsys, cli_dirs):
