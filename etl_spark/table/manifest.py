@@ -7,9 +7,14 @@ pointer swap + snapshot properties + schema evolution by column id):
 
 - **Snapshots**: immutable JSON manifests listing, per key-bucket, the
   parquet directories that make up the bucket, each tagged with the
-  schema version it was written under. Commit = write new snapshot file
-  + atomic rename of the ``_current`` pointer (on a real deployment this
-  pointer swap lives in a catalog / Iceberg metastore).
+  schema version it was written under. Commit = exclusive CLAIM of the
+  next ``snapshot-{v}.json`` (``os.link`` — the local-FS analog of a
+  catalog CAS; on a real deployment this claim lives in a catalog /
+  Iceberg metastore). Concurrent commits conflict on the claim:
+  appends rebase and retry (they commute), bucket rewrites rebase only
+  when no concurrent commit touched their buckets, otherwise
+  ``CommitConflictError`` propagates. The ``_current`` pointer is a
+  monotonic cache readers treat as a floor.
 - **Copy-on-write per bucket**: a MERGE rewrites only the buckets touched
   by the source batch; untouched buckets are carried over by reference.
   At 10^10 events / 100 TB this is what keeps merge cost proportional to
@@ -71,6 +76,19 @@ RECORD_STATS = os.environ.get("ETL_SPARK_RECORD_STATS", "1") != "0"
 # attach raise instead.
 BUCKET_FN = "murmur3_pmod"
 FORMAT_VERSION = 2
+
+# Bounded rebase attempts for commits that can safely retry after a
+# concurrent commit claimed their snapshot version (appends always can;
+# bucket rewrites can when no concurrent commit touched their buckets).
+COMMIT_RETRIES = 5
+
+
+class CommitConflictError(RuntimeError):
+    """Another writer claimed this snapshot version first (the
+    optimistic-concurrency analog of Iceberg's CommitFailedException).
+    Appends rebase and retry automatically; rewrites re-raise when a
+    concurrent commit touched the buckets being rewritten — re-plan
+    from the new table state."""
 
 
 @dataclass
@@ -252,24 +270,66 @@ class ManifestTable:
             )
         return snap
 
+    def _snapshot_versions(self) -> list[int]:
+        return sorted(
+            int(n[len("snapshot-"):-len(".json")])
+            for n in os.listdir(self._snap_dir)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+
     def current_snapshot(self) -> Snapshot:
+        """The latest committed snapshot. The COMMIT POINT is the
+        exclusive creation of ``snapshot-{v}.json`` (see ``_commit``);
+        the ``_current`` pointer is a convenience cache that may lag a
+        just-claimed commit (concurrent writer mid-commit, or a crash
+        between claim and pointer write), so the pointer is taken as a
+        floor and the directory is checked for newer claims."""
         with open(os.path.join(self._snap_dir, "_current")) as f:
             name = f.read().strip()
+        ptr_version = int(name[len("snapshot-"):-len(".json")])
+        latest = max(self._snapshot_versions(), default=ptr_version)
+        if latest > ptr_version:
+            name = f"snapshot-{latest:08d}.json"
         with open(os.path.join(self._snap_dir, name)) as f:
             return self._check_format(Snapshot.from_json(f.read()))
 
     def _commit(self, snap: Snapshot) -> None:
-        """Atomic commit: write immutable snapshot, swap the pointer."""
+        """Optimistic-concurrency commit, the local-FS analog of a
+        catalog CAS: write the immutable snapshot to a temp file, then
+        CLAIM its version with ``os.link`` (fails atomically if another
+        writer claimed it first — raising ``CommitConflictError`` for
+        the caller to rebase and retry). A successful claim IS the
+        commit: the pointer update after it is best-effort and
+        monotonic, and readers treat the pointer as a floor, so a crash
+        between claim and pointer write loses nothing."""
         name = f"snapshot-{snap.version:08d}.json"
         path = os.path.join(self._snap_dir, name)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
             f.write(snap.to_json())
-        os.replace(tmp, path)
+        try:
+            os.link(tmp, path)
+        except FileExistsError:
+            raise CommitConflictError(
+                f"snapshot version {snap.version} was claimed by a "
+                "concurrent commit; re-read the table and retry"
+            ) from None
+        finally:
+            os.unlink(tmp)
+        # pointer cache: never move it backwards (a slower concurrent
+        # committer of an OLDER version must not shadow a newer one)
+        ptr_path = os.path.join(self._snap_dir, "_current")
+        try:
+            with open(ptr_path) as f:
+                cur = f.read().strip()
+            if cur >= name:  # zero-padded names order by version
+                return
+        except FileNotFoundError:
+            pass
         ptr_tmp = os.path.join(self._snap_dir, f"_current.tmp-{uuid.uuid4().hex}")
         with open(ptr_tmp, "w") as f:
             f.write(name)
-        os.replace(ptr_tmp, os.path.join(self._snap_dir, "_current"))
+        os.replace(ptr_tmp, ptr_path)
 
     # ---------- read ----------
 
@@ -505,16 +565,23 @@ class ManifestTable:
         snap = self.current_snapshot()
         sv = snap.current_schema_version
         written = self._write_bucketed(df.select(*snap.schema.names()), snap, "ow")
-        new = Snapshot(
-            version=snap.version + 1,
-            current_schema_version=sv,
-            schemas=snap.schemas,
-            num_buckets=snap.num_buckets,
-            files={b: [e] for b, e in self._entries(written, sv, "base", snap).items()},
-            properties={**snap.properties, **(properties_update or {})},
-        )
-        self._commit(new)
-        return new
+        files = {b: [e] for b, e in self._entries(written, sv, "base", snap).items()}
+        base = snap
+        for attempt in range(COMMIT_RETRIES):
+            if attempt:
+                base = self.current_snapshot()
+                if base.current_schema_version != sv:
+                    raise CommitConflictError(
+                        "concurrent schema evolution during overwrite; re-plan"
+                    )
+            try:
+                # full replace: a rebase just takes the next version —
+                # replacing everything is the operation's semantics
+                return self._commit_snapshot_like(base, files, properties_update)
+            except CommitConflictError:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
 
     def rewrite_buckets(
         self,
@@ -528,27 +595,54 @@ class ManifestTable:
         (which must contain only rows belonging to those buckets, in the
         current schema). Untouched buckets are carried over by reference.
         Data write + property update (fence/lineage) land in ONE atomic
-        snapshot commit — the exactly-once guarantee hangs off this."""
+        snapshot commit — the exactly-once guarantee hangs off this.
+
+        On a commit conflict the rewrite rebases iff the concurrent
+        commit(s) left the REWRITTEN buckets' entry lists and the schema
+        untouched (their rows were resolved from those exact entries);
+        otherwise ``CommitConflictError`` propagates — re-plan from the
+        new table state (Iceberg's overwrite serialization rule)."""
         snap = self.current_snapshot()
         sv = snap.current_schema_version
         written = self._write_bucketed(
             df.select(*snap.schema.names()), snap, "mg",
             files_per_bucket=files_per_bucket, sort_within=sort_columns,
         )
-        files = {b: list(es) for b, es in snap.files.items()}
-        for b in buckets:
-            files[b] = []  # rewritten (possibly to empty if all rows deleted)
-        for b, e in self._entries(written, sv, "base", snap).items():
-            files[b] = [e]
-        files = {b: es for b, es in files.items() if es}
+        new_entries = self._entries(written, sv, "base", snap)
+        base = snap
+        for attempt in range(COMMIT_RETRIES):
+            if attempt:
+                base = self.current_snapshot()
+                if base.current_schema_version != sv or any(
+                    base.files.get(b, []) != snap.files.get(b, []) for b in buckets
+                ):
+                    raise CommitConflictError(
+                        "concurrent commit touched the buckets (or schema) this "
+                        "rewrite resolved from; re-plan from the current snapshot"
+                    )
+            files = {b: list(es) for b, es in base.files.items()}
+            for b in buckets:
+                files[b] = []  # rewritten (possibly to empty if all rows deleted)
+            for b, e in new_entries.items():
+                files[b] = [e]
+            files = {b: es for b, es in files.items() if es}
+            try:
+                return self._commit_snapshot_like(base, files, properties_update)
+            except CommitConflictError:
+                if attempt == COMMIT_RETRIES - 1:
+                    raise
+        raise AssertionError("unreachable")
 
+    def _commit_snapshot_like(
+        self, base: Snapshot, files: dict, properties_update: dict | None
+    ) -> Snapshot:
         new = Snapshot(
-            version=snap.version + 1,
-            current_schema_version=sv,
-            schemas=snap.schemas,
-            num_buckets=snap.num_buckets,
+            version=base.version + 1,
+            current_schema_version=base.current_schema_version,
+            schemas=base.schemas,
+            num_buckets=base.num_buckets,
             files=files,
-            properties={**snap.properties, **(properties_update or {})},
+            properties={**base.properties, **(properties_update or {})},
         )
         self._commit(new)
         return new
@@ -601,26 +695,40 @@ class ManifestTable:
 
         ``written`` values are either prepared entries from
         ``write_delta_files`` (stats already collected) or bare dir
-        paths (stats collected here)."""
-        snap = self.current_snapshot()
-        raw = {b: v for b, v in written.items() if isinstance(v, str)}
-        entries = {
-            **self._entries(raw, schema_version, "delta", snap),
-            **{b: v for b, v in written.items() if not isinstance(v, str)},
-        }
-        files = {b: list(es) for b, es in snap.files.items()}
-        for b, e in entries.items():
-            files.setdefault(b, []).append(e)
-        new = Snapshot(
-            version=snap.version + 1,
-            current_schema_version=snap.current_schema_version,
-            schemas=snap.schemas,
-            num_buckets=snap.num_buckets,
-            files=files,
-            properties={**snap.properties, **(properties_update or {})},
-        )
-        self._commit(new)
-        return new
+        paths (stats collected here).
+
+        Appends COMMUTE (they touch no existing entries), so a
+        ``CommitConflictError`` from a concurrent commit is resolved by
+        rebasing onto the new current snapshot and retrying — the
+        Iceberg fast-append conflict rule. Note this protects TABLE
+        integrity only; the engine's exactly-once bookkeeping
+        (``applied_batches``/``fence_offset`` in properties) still
+        assumes one logical replay writer per table."""
+        last: CommitConflictError | None = None
+        for _ in range(COMMIT_RETRIES):
+            snap = self.current_snapshot()
+            raw = {b: v for b, v in written.items() if isinstance(v, str)}
+            entries = {
+                **self._entries(raw, schema_version, "delta", snap),
+                **{b: v for b, v in written.items() if not isinstance(v, str)},
+            }
+            files = {b: list(es) for b, es in snap.files.items()}
+            for b, e in entries.items():
+                files.setdefault(b, []).append(e)
+            new = Snapshot(
+                version=snap.version + 1,
+                current_schema_version=snap.current_schema_version,
+                schemas=snap.schemas,
+                num_buckets=snap.num_buckets,
+                files=files,
+                properties={**snap.properties, **(properties_update or {})},
+            )
+            try:
+                self._commit(new)
+                return new
+            except CommitConflictError as e:
+                last = e
+        raise last
 
     def delta_counts(self) -> dict[int, int]:
         """{bucket: number of file entries} — >1 means unresolved deltas."""
@@ -889,21 +997,32 @@ class ManifestTable:
         schema change — the replay engine records an op's offset in
         ``applied_schema_ops`` here, so a crash between the evolution
         commit and the batch's data commit cannot re-apply the op on
-        resume (re-application of add/rename raises)."""
-        snap = self.current_snapshot()
-        cur = snap.schema
-        new_cols = mutate([ColumnDef(c.id, c.name, c.type, c.default) for c in cur.columns])
-        new_sv = snap.current_schema_version + 1
-        new = Snapshot(
-            version=snap.version + 1,
-            current_schema_version=new_sv,
-            schemas={**snap.schemas, new_sv: TableSchema(new_cols)},
-            num_buckets=snap.num_buckets,
-            files=snap.files,
-            properties={**snap.properties, **(properties_update or {})},
-        )
-        self._commit(new)
-        return new
+        resume (re-application of add/rename raises).
+
+        A commit conflict re-runs ``mutate`` against the refreshed
+        snapshot (DDL is metadata-only, so the rebase is free); if the
+        concurrent commit made the mutation invalid — e.g. both writers
+        adding the same column — the mutate itself raises."""
+        last: CommitConflictError | None = None
+        for _ in range(COMMIT_RETRIES):
+            snap = self.current_snapshot()
+            cur = snap.schema
+            new_cols = mutate([ColumnDef(c.id, c.name, c.type, c.default) for c in cur.columns])
+            new_sv = snap.current_schema_version + 1
+            new = Snapshot(
+                version=snap.version + 1,
+                current_schema_version=new_sv,
+                schemas={**snap.schemas, new_sv: TableSchema(new_cols)},
+                num_buckets=snap.num_buckets,
+                files=snap.files,
+                properties={**snap.properties, **(properties_update or {})},
+            )
+            try:
+                self._commit(new)
+                return new
+            except CommitConflictError as e:
+                last = e
+        raise last
 
     def add_column(
         self, name: str, type_: str, default: object | None = None,

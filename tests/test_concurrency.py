@@ -1,0 +1,229 @@
+"""Optimistic concurrency for snapshot commits: the commit point is the
+exclusive claim of ``snapshot-{v}.json`` (local-FS CAS); appends rebase
+and retry on conflict, rewrites rebase only when their buckets are
+untouched, and readers treat the ``_current`` pointer as a floor."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from etl_spark.table.manifest import (
+    ColumnDef,
+    CommitConflictError,
+    ManifestTable,
+    Snapshot,
+    TableSchema,
+)
+
+SCHEMA = TableSchema(
+    [
+        ColumnDef(1, "repo", "string"),
+        ColumnDef(2, "path", "string"),
+        ColumnDef(3, "v", "long"),
+    ]
+)
+
+
+def _rows(spark, lo: int, n: int):
+    return spark.range(lo, lo + n).select(
+        F.concat(F.lit("r"), (F.col("id") % 5).cast("string")).alias("repo"),
+        F.concat(F.lit("p"), F.col("id").cast("string")).alias("path"),
+        F.col("id").alias("v"),
+    )
+
+
+@pytest.fixture()
+def table(spark, tmp_path):
+    t = ManifestTable.create(
+        spark, os.path.join(str(tmp_path), "t"), SCHEMA,
+        key_columns=["repo", "path"], num_buckets=4,
+    )
+    t.overwrite(_rows(spark, 0, 100))
+    return t
+
+
+def _second_handle(table):
+    return ManifestTable(table.spark, table.root, table.key_columns)
+
+
+def _bump(snap: Snapshot, tag: str) -> Snapshot:
+    return Snapshot(
+        version=snap.version + 1,
+        current_schema_version=snap.current_schema_version,
+        schemas=snap.schemas,
+        num_buckets=snap.num_buckets,
+        files=snap.files,
+        properties={**snap.properties, "who": tag},
+    )
+
+
+def test_commit_claim_is_exclusive(table):
+    snap = table.current_snapshot()
+    table._commit(_bump(snap, "a"))
+    with pytest.raises(CommitConflictError, match="claimed"):
+        table._commit(_bump(snap, "b"))
+    assert table.current_snapshot().properties["who"] == "a"
+
+
+def test_pointer_is_a_floor(table):
+    """A commit whose pointer write never happened (crash window) is
+    still visible: readers take max(claimed versions, pointer)."""
+    snap = table.current_snapshot()
+    new = _bump(snap, "crashed")
+    # simulate claim-then-crash: write the snapshot file, skip the pointer
+    path = os.path.join(table._snap_dir, f"snapshot-{new.version:08d}.json")
+    with open(path, "w") as f:
+        f.write(new.to_json())
+    got = table.current_snapshot()
+    assert got.version == new.version and got.properties["who"] == "crashed"
+    # and the next commit builds on it rather than re-claiming its version
+    table.append_buckets(_rows(table.spark, 500, 10))
+    assert table.current_snapshot().version == new.version + 1
+
+
+def test_pointer_never_moves_backwards(table):
+    """A slow committer of an older version must not shadow a newer
+    pointer (its claim already failed; pointer logic is the backstop)."""
+    v_new = table.current_snapshot().version
+    stale_name = f"snapshot-{0:08d}.json"
+    ptr = os.path.join(table._snap_dir, "_current")
+    with open(ptr) as f:
+        before = f.read().strip()
+    assert before > stale_name
+    # the pointer guard in _commit refuses regression; emulate its check
+    table.append_buckets(_rows(table.spark, 600, 5))
+    with open(ptr) as f:
+        after = f.read().strip()
+    assert after >= before
+    assert table.current_snapshot().version == v_new + 1
+
+
+def test_concurrent_appends_both_survive(spark, table, monkeypatch):
+    """Two writers race an append at the same version: the loser rebases
+    onto the winner's snapshot and BOTH delta sets are in the final
+    table (Iceberg fast-append commute rule)."""
+    other = _second_handle(table)
+    stale = table.current_snapshot()
+    written = table.write_delta_files(_rows(spark, 1000, 20), stale)
+
+    # concurrent writer lands first
+    other.append_buckets(_rows(spark, 2000, 30))
+
+    # force our first attempt to plan against the stale snapshot, so the
+    # claim genuinely conflicts and the retry path rebases
+    calls = {"n": 0}
+    real = ManifestTable.current_snapshot
+
+    def once_stale(self):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(self)
+
+    monkeypatch.setattr(ManifestTable, "current_snapshot", once_stale)
+    table.commit_appended(written, stale.current_schema_version)
+    monkeypatch.setattr(ManifestTable, "current_snapshot", real)
+
+    assert calls["n"] >= 2  # the retry actually happened
+    vals = {r["v"] for r in table.read().collect()}
+    assert set(range(1000, 1020)) <= vals and set(range(2000, 2030)) <= vals
+    assert set(range(100)) <= vals
+
+
+def test_rewrite_rebases_over_disjoint_append(spark, table, monkeypatch):
+    """A bucket rewrite rebases when the concurrent commit only touched
+    OTHER buckets; the appended rows survive the rebased rewrite."""
+    snap = table.current_snapshot()
+    all_buckets = sorted(snap.files)
+    target, untouched = all_buckets[0], all_buckets[-1]
+    # rows that hash into `untouched` only: filter an append by bucket
+    from etl_spark.table.manifest import bucket_expr
+
+    extra = _rows(spark, 3000, 200).filter(
+        bucket_expr(["repo", "path"], snap.num_buckets) == untouched
+    )
+    assert extra.count() > 0
+
+    rows_target = table.read(buckets=[target])
+    n_target = rows_target.count()
+    stale = table.current_snapshot()
+    other = _second_handle(table)
+
+    calls = {"n": 0}
+    real = ManifestTable.current_snapshot
+
+    def stale_then_race(self):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            return stale
+        return real(self)
+
+    # interleave: rewrite plans against `stale`, the concurrent append
+    # lands before its commit
+    rewritten = rows_target.withColumn("v", F.col("v") + 10_000)
+    monkeypatch.setattr(ManifestTable, "current_snapshot", stale_then_race)
+    other_real = _second_handle(table)
+    monkeypatch.setattr(ManifestTable, "current_snapshot", real)
+    other_real.append_buckets(extra)
+    monkeypatch.setattr(ManifestTable, "current_snapshot", stale_then_race)
+    table.rewrite_buckets([target], rewritten)
+    monkeypatch.setattr(ManifestTable, "current_snapshot", real)
+
+    got = table.read().collect()
+    vals = {r["v"] for r in got}
+    assert {v for v in vals if v >= 10_000 and v < 11_000}, "rewrite lost"
+    assert set(range(3000, 3200)) & vals == {
+        r["v"] for r in extra.collect()
+    }, "concurrent append lost"
+    assert table.read(buckets=[target]).count() == n_target
+
+
+def test_rewrite_conflict_on_same_bucket_raises(spark, table, monkeypatch):
+    """A concurrent append INTO a bucket being rewritten must fail the
+    rewrite (its resolved rows no longer cover the bucket)."""
+    snap = table.current_snapshot()
+    target = sorted(snap.files)[0]
+    from etl_spark.table.manifest import bucket_expr
+
+    extra = _rows(spark, 4000, 200).filter(
+        bucket_expr(["repo", "path"], snap.num_buckets) == target
+    )
+    assert extra.count() > 0
+    rows_target = table.read(buckets=[target])
+    stale = table.current_snapshot()
+
+    other = _second_handle(table)
+    other.append_buckets(extra)
+
+    calls = {"n": 0}
+    real = ManifestTable.current_snapshot
+
+    def once_stale(self):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(self)
+
+    monkeypatch.setattr(ManifestTable, "current_snapshot", once_stale)
+    with pytest.raises(CommitConflictError, match="touched the buckets"):
+        table.rewrite_buckets([target], rows_target)
+
+
+def test_evolve_rebases_on_conflict(spark, table, monkeypatch):
+    stale = table.current_snapshot()
+    other = _second_handle(table)
+    other.append_buckets(_rows(spark, 5000, 10))
+
+    calls = {"n": 0}
+    real = ManifestTable.current_snapshot
+
+    def once_stale(self):
+        calls["n"] += 1
+        return stale if calls["n"] == 1 else real(self)
+
+    monkeypatch.setattr(ManifestTable, "current_snapshot", once_stale)
+    table.add_column("extra", "string")
+    monkeypatch.setattr(ManifestTable, "current_snapshot", real)
+    snap = table.current_snapshot()
+    assert "extra" in snap.schema.names()
+    # the concurrent append's rows were carried into the evolved snapshot
+    assert {r["v"] for r in table.read().collect()} >= set(range(5000, 5010))
