@@ -418,6 +418,14 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
 
 
 def _propagate_labels(edges: DataFrame, labels: DataFrame, pairs: DataFrame) -> DataFrame:
+    # convergence check: per-vertex labels only ever DECREASE (min of
+    # self and neighbors), so the label sum strictly decreases on any
+    # change and is stationary exactly at convergence — one aggregate
+    # per round instead of a self-join diff (decimal sum: overflow-proof
+    # for any bigint ids)
+    label_sum = labels.agg(
+        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+    ).first()["s"]
     for _ in range(MAX_CC_ITERATIONS):
         neigh = (
             edges.join(labels, edges["doc_b"] == labels["doc_id"])
@@ -434,18 +442,16 @@ def _propagate_labels(edges: DataFrame, labels: DataFrame, pairs: DataFrame) -> 
             )
             .persist()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
+        new_sum = new_labels.agg(
+            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
+        ).first()["s"]
         labels.unpersist()
         labels = new_labels
-        if changed == 0:
+        if new_sum == label_sum:
             edges.unpersist()
             pairs.unpersist()
             return labels.select("doc_id", "cluster_id")
+        label_sum = new_sum
     raise RuntimeError(
         f"near_dup_clusters did not converge in {MAX_CC_ITERATIONS} rounds "
         "— component diameter exceeds the bound; use star-contraction"
