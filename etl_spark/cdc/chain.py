@@ -1,0 +1,84 @@
+"""Table-to-table CDC chaining: tail one lake table's change feed into
+another (the lake-as-changelog pattern — a downstream replica, regional
+copy, or derived table kept in sync incrementally).
+
+``propagate_changes`` reads the upstream table's rows committed since
+the last propagated snapshot (``Engine.changes_between``), converts
+them back into the binlog event envelope, and replays them into the
+downstream engine as one batch. Exactly-once does NOT depend on the
+snapshot watermark: every propagated row carries its ORIGINAL event
+offset (per-row lineage), and the downstream engine's offset fence
+drops anything at or below what it already applied — so a crash
+between the downstream commit and the watermark update, or a whole
+re-propagation of an old window, replays as an empty batch. The
+watermark only bounds how much the next cycle reads.
+
+Mode notes: under mor the upstream feed is exact row-level deltas
+(winners + tombstones). Under cow — and after mor compactions — added
+files are whole rewritten buckets, so the feed echoes old rows too;
+their old offsets land at or below the downstream fence and are
+dropped, leaving exactly the new changes. Both modes converge to the
+same downstream state.
+
+Reference analog: the reference's jobs copy whole tables between
+systems on every run (e.g. full-table SELECT + replace,
+``src/sensum/sensum.py:104``); this is the incremental replacement.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from etl_spark.cdc.replay import ReplayEngine
+
+WATERMARK_PROP = "chain_src_version"
+
+
+def changes_to_events(changes: DataFrame, batch_id: int) -> DataFrame:
+    """Convert a table change feed (rows with ``_deleted`` + lineage)
+    back into the change-event envelope a ``ReplayEngine`` ingests.
+    Tombstones become D events (content nulled); everything else U —
+    the downstream LWW order ``(commit, offset)`` is carried through,
+    so replaying preserves the upstream resolution exactly."""
+    return changes.select(
+        F.col("_ingest_offset").alias("offset"),
+        F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
+        "repo",
+        "path",
+        "commit",
+        "lang",
+        F.when(F.col("_deleted"), F.lit(None).cast("string"))
+        .otherwise(F.col("content"))
+        .alias("content"),
+        F.lit(batch_id).cast("int").alias("batch_id"),
+    )
+
+
+def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
+    """One incremental sync cycle from ``src``'s table into ``dst``.
+
+    Reads upstream commits after the recorded watermark, replays them
+    downstream as the next batch id, then records the new watermark in
+    a separate metadata-only commit (safe to lose — see module doc).
+    Returns ``{"src_version", "events", "batch_id", "skipped"}``."""
+    src_version = src.table.current_snapshot().version
+    dst_snap = dst.table.current_snapshot()
+    last = int(dst_snap.properties.get(WATERMARK_PROP, 0))
+    if src_version <= last:
+        return {"src_version": src_version, "events": 0, "batch_id": None, "skipped": True}
+
+    applied = dst_snap.properties.get("applied_batches", [])
+    batch_id = (max(applied) + 1) if applied else 0
+    events = changes_to_events(src.changes_between(last, src_version), batch_id)
+    results = dst.replay(events, batches=[batch_id])
+    dst.table.commit_appended(
+        {}, dst.table.current_snapshot().current_schema_version,
+        {WATERMARK_PROP: src_version},
+    )
+    return {
+        "src_version": src_version,
+        "events": sum(r.get("rows_in", 0) for r in results),
+        "batch_id": batch_id,
+        "skipped": False,
+    }
