@@ -199,7 +199,11 @@ class ReplayEngine:
         )
         pq.write_table(table, os.path.join(d, f"batch-{batch_id:08d}.parquet"))
 
-    def read_state(self, where: list[tuple] | None = None) -> DataFrame:
+    def read_state(
+        self,
+        where: list[tuple] | None = None,
+        columns: list[str] | None = None,
+    ) -> DataFrame:
         """Current table state. In mor mode, resolves base+delta files
         with the same LWW rule the merge uses and drops tombstones; in
         cow mode files already hold exactly one live row per key.
@@ -213,15 +217,35 @@ class ReplayEngine:
         scan only in cow mode (files already resolved) and otherwise
         apply AFTER resolution — a value predicate pushed below the
         resolve could drop a key's winning row and resurrect an older
-        one."""
+        one.
+
+        ``columns`` projects the result — and, crucially, projects
+        BELOW the mor resolve: the LWW ``max_by`` packs only the
+        requested columns (plus keys/order internally), so the parquet
+        scan never reads the others. Asking for keys only on a content
+        table skips the content bytes entirely — the difference between
+        a metadata-sized and a table-sized job at 100 TB."""
         from etl_spark.cdc.merge import resolve_state
 
         preds = list(where or [])
         keyset = set(self.table.key_columns)
         key_preds = [p for p in preds if p[0] in keyset]
         rest = [p for p in preds if p[0] not in keyset]
+        if columns is not None:
+            valid = set(self.table.current_snapshot().schema.names()) - {"_deleted"}
+            unknown = [c for c in columns if c not in valid]
+            if unknown:
+                raise ValueError(f"columns not in table state: {unknown}")
         if self.mode == "mor":
             raw = self.table.read(where=key_preds or None)
+            if columns is not None:
+                needed = dict.fromkeys(
+                    self.table.key_columns
+                    + ["commit", "_ingest_offset", "_deleted"]
+                    + [c for c, _, _ in rest]
+                    + list(columns)
+                )
+                raw = raw.select(*needed)
             # read path always resolves with the hash-agg kernel: the
             # winner set here is ALL live keys (grows with the table, not
             # the batch), so the merge-side broadcast strategy must not
@@ -229,9 +253,10 @@ class ReplayEngine:
             out = resolve_state(raw, key_columns=self.table.key_columns).drop("_deleted")
             if rest:
                 out = out.filter(ManifestTable._where_to_column(rest))
-            return out
+            return out.select(*columns) if columns is not None else out
         raw = self.table.read(where=preds or None)
-        return raw.filter(~F.col("_deleted")).drop("_deleted")
+        out = raw.filter(~F.col("_deleted")).drop("_deleted")
+        return out.select(*columns) if columns is not None else out
 
     def lookup(self, **key_values) -> DataFrame:
         """Point lookup: the current live row for one fully-specified

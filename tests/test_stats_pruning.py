@@ -166,6 +166,39 @@ def test_entry_excludes_rules():
     assert not entry_excludes({"min": "a", "max": "b", "nulls": 0}, "=", 5)
 
 
+def test_read_state_column_projection_prunes_scan(spark, tmp_path):
+    """read_state(columns=...) projects BELOW the mor LWW resolve, so
+    the parquet scan never reads unrequested columns (content pruned
+    from ReadSchema) and the result matches the full state's
+    projection."""
+    import contextlib
+    import io
+
+    log = generate_changelog(
+        spark, 2000, seed=17, n_repos=5, paths_per_repo=20, num_batches=2
+    )
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4, mode="mor")
+    eng.replay(log)
+    slim = eng.read_state(columns=["repo", "path", "lang"])
+    assert slim.columns == ["repo", "path", "lang"]
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        slim.explain("formatted")
+    read_schemas = [l for l in buf.getvalue().splitlines() if "ReadSchema" in l]
+    assert read_schemas and all("content" not in l for l in read_schemas)
+    want = {
+        (r["repo"], r["path"], r["lang"])
+        for r in eng.read_state().select("repo", "path", "lang").collect()
+    }
+    got = {tuple(r) for r in slim.collect()}
+    assert got == want
+    # predicate + projection compose; unknown columns raise
+    n = eng.read_state(where=[("lang", "=", "go")], columns=["repo", "path"]).count()
+    assert n == eng.read_state().filter("lang = 'go'").count()
+    with pytest.raises(ValueError, match="columns not in table state"):
+        eng.read_state(columns=["nope"])
+
+
 def test_sorted_compaction(spark, tmp_path):
     """compact_sort writes each compacted file key-ordered (tight
     row-group min/max for pushed key predicates) without changing the
