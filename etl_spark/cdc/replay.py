@@ -124,6 +124,17 @@ class ReplayEngine:
                 next_id += 1
         if ManifestTable.exists(table_root):
             self.table = ManifestTable(spark, table_root, keys)
+            # a mor table attached as cow reads RAW base+delta rows —
+            # silent duplicates and stale versions, no error. Refuse the
+            # mismatch instead (legacy tables without the property are
+            # accepted as-is).
+            recorded = self.table.current_snapshot().properties.get("engine_mode")
+            if recorded and recorded != mode:
+                raise ValueError(
+                    f"table at {table_root!r} was written in mode={recorded!r}; "
+                    f"attaching with mode={mode!r} would mis-read it. Pass the "
+                    "recorded mode (see ReplayEngine.attach)."
+                )
         else:
             self.table = ManifestTable.create(
                 spark,
@@ -131,9 +142,22 @@ class ReplayEngine:
                 TableSchema(cols),
                 key_columns=keys,
                 num_buckets=num_buckets,
-                properties={"applied_batches": [], "applied_schema_ops": [], "fence_offset": -1},
+                properties={"applied_batches": [], "applied_schema_ops": [],
+                            "fence_offset": -1, "engine_mode": mode},
             )
         self._metrics_dir = os.path.join(table_root, "_ingest_metrics")
+
+    @staticmethod
+    def attach(spark: SparkSession, table_root: str, **kwargs) -> "ReplayEngine":
+        """Attach to an EXISTING table using its recorded mode (and the
+        caller's other knobs) — the safe way to open a table you didn't
+        just create."""
+        if not ManifestTable.exists(table_root):
+            raise ValueError(f"no table at {table_root!r}")
+        probe = ManifestTable(spark, table_root, ["_probe"])
+        mode = probe.current_snapshot().properties.get("engine_mode", "cow")
+        kwargs.pop("mode", None)
+        return ReplayEngine(spark, table_root, mode=mode, **kwargs)
 
     # ---------- bookkeeping ----------
 

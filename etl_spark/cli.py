@@ -125,6 +125,21 @@ def _build_parser() -> argparse.ArgumentParser:
     st = sub.add_parser("state", help="resolved table state summary")
     common(st)
 
+    lk = sub.add_parser(
+        "lookup", help="point lookup of one key's current row (plans a single bucket)"
+    )
+    lk.add_argument(
+        "--key", action="append", required=True, metavar="COL=VALUE",
+        help="one per key column, e.g. --key repo=org/r1 --key path=src/a.go",
+    )
+    common(lk)
+
+    ch = sub.add_parser(
+        "chain", help="incremental sync: tail --src-table's change feed into --table"
+    )
+    ch.add_argument("--src-table", required=True, help="upstream lake table root")
+    common(ch)
+
     m = sub.add_parser("metrics", help="per-batch ingest metrics")
     common(m)
     return p
@@ -225,6 +240,18 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "state":
         state = engine.read_state()
         print(json.dumps({"rows": state.count(), "columns": state.columns}))
+    elif args.cmd == "lookup":
+        kv = dict(k.split("=", 1) for k in args.key)
+        rows = engine.lookup(**kv).collect()
+        print(json.dumps({"found": len(rows), "rows": [r.asDict() for r in rows]},
+                         default=str))
+    elif args.cmd == "chain":
+        from etl_spark.cdc.chain import propagate_changes
+
+        # the upstream table opens under its own RECORDED mode (the
+        # --mode flag describes the downstream table being written)
+        src = ReplayEngine.attach(spark, args.src_table, num_buckets=args.buckets)
+        print(json.dumps(propagate_changes(src, engine)))
     elif args.cmd == "metrics":
         for row in engine.metrics().orderBy("batch_id").collect():
             print(json.dumps(row.asDict()))

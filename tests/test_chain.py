@@ -64,6 +64,20 @@ def test_chain_converges_incrementally(spark, tmp_path, changelog, modes):
     pd.testing.assert_frame_equal(_state(dst), _state(src))
 
 
+def test_mode_mismatch_attach_refused(spark, tmp_path, changelog):
+    """A mor table attached as cow would silently read raw duplicate
+    versions; the engine refuses, and ``attach`` picks the recorded
+    mode automatically."""
+    root = str(tmp_path / "m")
+    eng = ReplayEngine(spark, root, num_buckets=4, mode="mor")
+    eng.replay(changelog, batches=[0])
+    with pytest.raises(ValueError, match="mode='mor'"):
+        ReplayEngine(spark, root, num_buckets=4, mode="cow")
+    again = ReplayEngine.attach(spark, root, num_buckets=4)
+    assert again.mode == "mor"
+    assert again.read_state().count() == eng.read_state().count()
+
+
 def test_chain_lost_watermark_is_idempotent(spark, tmp_path, changelog):
     """Crash between the downstream data commit and the watermark
     commit: the next cycle re-reads the same window, but every row's

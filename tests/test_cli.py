@@ -73,6 +73,33 @@ def test_cli_flags_reach_engine(spark, capsys, cli_dirs, monkeypatch):
     assert seen["compact_sort"] is False
 
 
+def test_cli_lookup_and_chain(spark, capsys, cli_dirs):
+    root, wal = cli_dirs
+    table = str(root / "t1")  # built by the replay test above
+    from etl_spark.cdc.replay import ReplayEngine
+
+    probe = ReplayEngine(spark, table, 16, mode="mor").read_state().first()
+    rc = main(["lookup", "--table", table,
+               "--key", f"repo={probe['repo']}", "--key", f"path={probe['path']}"])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["found"] == 1
+    assert out["rows"][0]["content_sha256"] == probe["content_sha256"]
+
+    dst = str(root / "chained")
+    rc = main(["chain", "--src-table", table, "--table", dst])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["skipped"] and out["events"] > 0
+    src_rows = ReplayEngine(spark, table, 16, mode="mor").read_state().count()
+    assert ReplayEngine(spark, dst, 16, mode="mor").read_state().count() == src_rows
+    # immediate re-run is a watermark no-op
+    rc = main(["chain", "--src-table", table, "--table", dst])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"]
+
+
 def test_cli_compact_flags(spark, capsys, cli_dirs):
     root, wal = cli_dirs
     table = str(root / "t1")  # built by the replay test above
