@@ -35,24 +35,39 @@ from etl_spark.cdc.replay import ReplayEngine
 WATERMARK_PROP = "chain_src_version"
 
 
+# engine-computed columns that must NOT ride the event envelope: the
+# downstream engine recomputes/assigns its own (sha from content,
+# lineage from the event offset/batch, tombstone flag from op)
+_ENGINE_COLS = ("content_sha256", "_ingest_offset", "_ingest_batch", "_deleted")
+
+
 def changes_to_events(changes: DataFrame, batch_id: int) -> DataFrame:
     """Convert a table change feed (rows with ``_deleted`` + lineage)
     back into the change-event envelope a ``ReplayEngine`` ingests.
-    Tombstones become D events (content nulled); everything else U —
-    the downstream LWW order ``(commit, offset)`` is carried through,
-    so replaying preserves the upstream resolution exactly."""
-    return changes.select(
+    Tombstones become D events (content nulled when present); everything
+    else U — the downstream LWW order ``(commit, offset)`` is carried
+    through, so replaying preserves the upstream resolution exactly.
+
+    Schema-generic: every non-engine column of the feed is forwarded
+    (a flagship table's enrichment columns ride along), so the
+    downstream table must share the upstream's payload schema —
+    ``propagate_changes`` validates that before replaying."""
+    payload = [c for c in changes.columns if c not in _ENGINE_COLS]
+    cols = [
         F.col("_ingest_offset").alias("offset"),
         F.when(F.col("_deleted"), F.lit("D")).otherwise(F.lit("U")).alias("op"),
-        "repo",
-        "path",
-        "commit",
-        "lang",
-        F.when(F.col("_deleted"), F.lit(None).cast("string"))
-        .otherwise(F.col("content"))
-        .alias("content"),
-        F.lit(batch_id).cast("int").alias("batch_id"),
-    )
+    ]
+    for c in payload:
+        if c == "content":
+            cols.append(
+                F.when(F.col("_deleted"), F.lit(None).cast("string"))
+                .otherwise(F.col("content"))
+                .alias("content")
+            )
+        else:
+            cols.append(F.col(c))
+    cols.append(F.lit(batch_id).cast("int").alias("batch_id"))
+    return changes.select(*cols)
 
 
 def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
@@ -68,9 +83,38 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
     if src_version <= last:
         return {"src_version": src_version, "events": 0, "batch_id": None, "skipped": True}
 
+    # the downstream table must be able to hold every payload column the
+    # feed carries — a silent column drop is a divergent replica
+    src_payload = [
+        c for c in src.table.current_snapshot().schema.names() if c not in _ENGINE_COLS
+    ]
+    missing = [c for c in src_payload if c not in set(dst_snap.schema.names())]
+    if missing:
+        raise ValueError(
+            f"downstream table lacks upstream payload columns {missing}; "
+            "create the downstream engine with matching target_columns"
+        )
+
     applied = dst_snap.properties.get("applied_batches", [])
     batch_id = (max(applied) + 1) if applied else 0
-    events = changes_to_events(src.changes_between(last, src_version), batch_id)
+    if last not in src.table._snapshot_versions():
+        # the watermark snapshot was expired upstream: incremental diff
+        # impossible. A downstream that never applied anything can
+        # bootstrap from the full current state (its fence is empty, so
+        # nothing is wrongly dropped); an already-populated downstream
+        # must not — deletes between the expired watermark and now are
+        # unrecoverable from the live state alone.
+        if applied:
+            raise ValueError(
+                f"upstream snapshot {last} was expired; incremental sync "
+                "impossible and the downstream already holds data — "
+                "recreate the downstream (full resync) or expire less "
+                "aggressively upstream (keep_last > sync interval)"
+            )
+        feed = src.read_state().withColumn("_deleted", F.lit(False))
+    else:
+        feed = src.changes_between(last, src_version)
+    events = changes_to_events(feed, batch_id)
     results = dst.replay(events, batches=[batch_id])
     dst.table.commit_appended(
         {}, dst.table.current_snapshot().current_schema_version,

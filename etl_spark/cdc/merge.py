@@ -431,7 +431,7 @@ def merge_batch(
         survivors = survivors.filter(
             (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
         )
-    new_snap = table.rewrite_buckets(touched, survivors, properties_update)
+    new_snap = table.rewrite_buckets(touched, survivors, properties_update, basis=snap)
     t_written = time.monotonic()
     counters = {
         "rows_in": stats["events"], "distinct_keys": stats["keys"],

@@ -149,15 +149,22 @@ class ReplayEngine:
 
     @staticmethod
     def attach(spark: SparkSession, table_root: str, **kwargs) -> "ReplayEngine":
-        """Attach to an EXISTING table using its recorded mode (and the
-        caller's other knobs) — the safe way to open a table you didn't
-        just create."""
+        """Attach to an EXISTING table using its RECORDED layout — mode
+        and key columns both come from the table's own properties, so
+        this is the safe way to open a table you didn't just create
+        (constructing with wrong keys mis-buckets merges; wrong mode
+        mis-reads mor tables — both are refused by the constructor)."""
         if not ManifestTable.exists(table_root):
             raise ValueError(f"no table at {table_root!r}")
-        probe = ManifestTable(spark, table_root, ["_probe"])
-        mode = probe.current_snapshot().properties.get("engine_mode", "cow")
+        props = ManifestTable.peek_properties(table_root)
         kwargs.pop("mode", None)
-        return ReplayEngine(spark, table_root, mode=mode, **kwargs)
+        kwargs.pop("key_columns", None)
+        return ReplayEngine(
+            spark, table_root,
+            mode=props.get("engine_mode", "cow"),
+            key_columns=props.get("key_columns"),
+            **kwargs,
+        )
 
     # ---------- bookkeeping ----------
 
@@ -252,6 +259,11 @@ class ReplayEngine:
         from etl_spark.cdc.merge import resolve_state
 
         preds = list(where or [])
+        bad_ops = sorted({op for _, op, _ in preds} - {"=", "<", "<=", ">", ">=", "in"})
+        if bad_ops:
+            raise ValueError(
+                f"unsupported where ops {bad_ops}; supported: = < <= > >= in"
+            )
         keyset = set(self.table.key_columns)
         key_preds = [p for p in preds if p[0] in keyset]
         rest = [p for p in preds if p[0] not in keyset]
@@ -330,12 +342,20 @@ class ReplayEngine:
 
         if tombstone_commit_watermark is None:
             tombstone_commit_watermark = self.tombstone_commit_watermark
-        buckets = [b for b, n in self.table.delta_counts().items() if n >= min_files]
+        # ONE snapshot pins the whole operation — eligibility, sizing,
+        # the resolve read, and the rewrite's conflict check (basis=) all
+        # see the same table version, so a concurrent commit anywhere in
+        # between raises CommitConflictError instead of being erased
+        snap0 = self.table.current_snapshot()
+        buckets = [b for b, es in snap0.files.items() if len(es) >= min_files]
         if min_delta_fraction is None:
             min_delta_fraction = self.compact_delta_fraction
         # one sizing walk serves BOTH eligibility and fan-out (total =
         # base + delta per bucket)
-        sizes = self.table.bucket_delta_base_bytes(buckets) if buckets else {}
+        sizes = (
+            self.table.bucket_delta_base_bytes(buckets, snapshot=snap0)
+            if buckets else {}
+        )
         if min_delta_fraction is not None and buckets:
             # bytes-aware eligibility (LSM amortization): folding a few
             # tiny deltas into a huge base is O(base) write amplification
@@ -351,7 +371,7 @@ class ReplayEngine:
         if not buckets:
             return []
         resolved = resolve_state(
-            self.table.read(buckets=buckets),
+            self.table.read(buckets=buckets, snapshot=snap0),
             lww_strategy="agg",
             key_columns=self.table.key_columns,
             keep_tombstones=True,
@@ -360,7 +380,7 @@ class ReplayEngine:
             resolved = resolved.filter(
                 (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
             )
-        num_buckets = self.table.current_snapshot().num_buckets
+        num_buckets = snap0.num_buckets
         from etl_spark.table.manifest import compact_fanout
 
         k = compact_fanout(max((sizes[b][0] + sizes[b][1] for b in buckets), default=0))
@@ -374,6 +394,7 @@ class ReplayEngine:
             self.table.rewrite_buckets(
                 buckets, resolved, files_per_bucket=k,
                 sort_columns=self.table.key_columns if self.compact_sort else None,
+                basis=snap0,
             )
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)

@@ -128,8 +128,17 @@ def _build_parser() -> argparse.ArgumentParser:
     lk = sub.add_parser(
         "lookup", help="point lookup of one key's current row (plans a single bucket)"
     )
+    def _key_eq(s: str) -> tuple[str, str]:
+        if "=" not in s:
+            raise argparse.ArgumentTypeError(
+                f"--key expects COL=VALUE, got {s!r}"
+            )
+        col, val = s.split("=", 1)
+        return col, val
+
     lk.add_argument(
         "--key", action="append", required=True, metavar="COL=VALUE",
+        type=_key_eq,
         help="one per key column, e.g. --key repo=org/r1 --key path=src/a.go",
     )
     common(lk)
@@ -241,7 +250,7 @@ def main(argv: list[str] | None = None) -> int:
         state = engine.read_state()
         print(json.dumps({"rows": state.count(), "columns": state.columns}))
     elif args.cmd == "lookup":
-        kv = dict(k.split("=", 1) for k in args.key)
+        kv = dict(args.key)
         rows = engine.lookup(**kv).collect()
         print(json.dumps({"found": len(rows), "rows": [r.asDict() for r in rows]},
                          default=str))

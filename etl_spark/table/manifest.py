@@ -56,6 +56,7 @@ from __future__ import annotations
 import json
 import os
 import uuid
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -249,10 +250,31 @@ class ManifestTable:
             schemas={1: schema},
             num_buckets=num_buckets,
             files={},
-            properties=dict(properties or {}),
+            # key columns ARE the physical layout (rows bucket by their
+            # hash): record them like bucket_fn so a mis-keyed attach
+            # fails loudly instead of resolving/merging on wrong keys
+            properties={**dict(properties or {}), "key_columns": list(key_columns)},
         )
         t._commit(snap)
         return t
+
+    @staticmethod
+    def peek_properties(root: str) -> dict:
+        """Read the current snapshot's properties WITHOUT attaching (no
+        key-column validation) — for discovering a table's recorded
+        layout (``key_columns``, ``engine_mode``) before constructing a
+        handle with the right keys."""
+        snap_dir = os.path.join(root, "_snapshots")
+        with open(os.path.join(snap_dir, "_current")) as f:
+            name = f.read().strip()
+        versions = sorted(
+            int(n[len("snapshot-"):-len(".json")])
+            for n in os.listdir(snap_dir)
+            if n.startswith("snapshot-") and n.endswith(".json")
+        )
+        latest = max(versions, default=int(name[len("snapshot-"):-len(".json")]))
+        with open(os.path.join(snap_dir, f"snapshot-{latest:08d}.json")) as f:
+            return Snapshot.from_json(f.read()).properties
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -291,7 +313,17 @@ class ManifestTable:
         if latest > ptr_version:
             name = f"snapshot-{latest:08d}.json"
         with open(os.path.join(self._snap_dir, name)) as f:
-            return self._check_format(Snapshot.from_json(f.read()))
+            snap = self._check_format(Snapshot.from_json(f.read()))
+        recorded = snap.properties.get("key_columns")
+        if recorded and list(recorded) != self.key_columns:
+            raise ValueError(
+                f"table was created with key_columns={list(recorded)!r}; this "
+                f"handle uses {self.key_columns!r}. Refusing to attach: LWW "
+                "resolution and bucket routing on the wrong keys silently "
+                "corrupt the table (use ManifestTable.peek_properties / "
+                "ReplayEngine.attach to discover the recorded layout)."
+            )
+        return snap
 
     def _commit(self, snap: Snapshot) -> None:
         """Optimistic-concurrency commit, the local-FS analog of a
@@ -317,19 +349,27 @@ class ManifestTable:
         finally:
             os.unlink(tmp)
         # pointer cache: never move it backwards (a slower concurrent
-        # committer of an OLDER version must not shadow a newer one)
+        # committer of an OLDER version must not shadow a newer one).
+        # The read-check-write is serialized under an flock so two
+        # racing committers cannot interleave check and write — the
+        # monotonicity the docstring promises is real, not best-effort
+        # (POSIX flock; a catalog deployment replaces this whole method)
+        import fcntl
+
         ptr_path = os.path.join(self._snap_dir, "_current")
-        try:
-            with open(ptr_path) as f:
-                cur = f.read().strip()
-            if cur >= name:  # zero-padded names order by version
-                return
-        except FileNotFoundError:
-            pass
-        ptr_tmp = os.path.join(self._snap_dir, f"_current.tmp-{uuid.uuid4().hex}")
-        with open(ptr_tmp, "w") as f:
-            f.write(name)
-        os.replace(ptr_tmp, ptr_path)
+        with open(os.path.join(self._snap_dir, "_current.lock"), "a") as lockf:
+            fcntl.flock(lockf, fcntl.LOCK_EX)
+            try:
+                with open(ptr_path) as f:
+                    cur = f.read().strip()
+                if cur >= name:  # zero-padded names order by version
+                    return
+            except FileNotFoundError:
+                pass
+            ptr_tmp = os.path.join(self._snap_dir, f"_current.tmp-{uuid.uuid4().hex}")
+            with open(ptr_tmp, "w") as f:
+                f.write(name)
+            os.replace(ptr_tmp, ptr_path)
 
     # ---------- read ----------
 
@@ -437,6 +477,11 @@ class ManifestTable:
         unknown = [c for c, _, _ in preds if c not in set(target.names())]
         if unknown:
             raise ValueError(f"where references unknown columns: {unknown}")
+        bad_ops = sorted({op for _, op, _ in preds} - {"=", "<", "<=", ">", ">=", "in"})
+        if bad_ops:
+            raise ValueError(
+                f"unsupported where ops {bad_ops}; supported: = < <= > >= in"
+            )
         groups: dict[int, list[str]] = {}
         bucket_set = set(buckets) if buckets is not None else None
         kb = self._key_bucket_from_where(snap, preds) if preds else None
@@ -546,10 +591,12 @@ class ManifestTable:
             c = cur_by_name.get(name)
             if c is not None and c.id in sv_by_id:
                 file_name_to_id[sv_by_id[c.id].name] = c.id
-        out: dict[int, dict] = {}
-        for b, p in written.items():
-            s = collect_dir_stats(p, list(file_name_to_id))
-            out[b] = {
+        cols = list(file_name_to_id)
+
+        def one(item: tuple[int, str]) -> tuple[int, dict]:
+            b, p = item
+            s = collect_dir_stats(p, cols)
+            return b, {
                 "path": p,
                 **base,
                 "bytes": s["bytes"],
@@ -558,7 +605,14 @@ class ManifestTable:
                     str(file_name_to_id[n]): v for n, v in s["stats"].items()
                 },
             }
-        return out
+
+        if len(written) <= 1:
+            return dict(map(one, written.items()))
+        # a compaction can rewrite hundreds of buckets in one commit —
+        # footer reads are I/O-bound, so fan the DIRS out too (the
+        # per-dir pool inside collect_dir_stats handles the files)
+        with ThreadPoolExecutor(max_workers=min(16, len(written))) as ex:
+            return dict(ex.map(one, written.items()))
 
     def overwrite(self, df: DataFrame, properties_update: dict | None = None) -> Snapshot:
         """Full-table replace (reference K2: ``to_sql(if_exists='replace')``)."""
@@ -590,6 +644,7 @@ class ManifestTable:
         properties_update: dict | None = None,
         files_per_bucket: int = 1,
         sort_columns: list[str] | None = None,
+        basis: Snapshot | None = None,
     ) -> Snapshot:
         """Copy-on-write commit: replace the given buckets with ``df``
         (which must contain only rows belonging to those buckets, in the
@@ -597,29 +652,35 @@ class ManifestTable:
         Data write + property update (fence/lineage) land in ONE atomic
         snapshot commit — the exactly-once guarantee hangs off this.
 
-        On a commit conflict the rewrite rebases iff the concurrent
-        commit(s) left the REWRITTEN buckets' entry lists and the schema
-        untouched (their rows were resolved from those exact entries);
-        otherwise ``CommitConflictError`` propagates — re-plan from the
-        new table state (Iceberg's overwrite serialization rule)."""
+        ``basis`` is the snapshot ``df`` was RESOLVED FROM (pass the
+        same snapshot given to ``read``). Before every commit attempt —
+        including the first — the rewritten buckets' entry lists and the
+        schema are compared against it, so a concurrent commit landing
+        anywhere between the caller's resolve-read and this commit
+        raises ``CommitConflictError`` instead of being silently erased
+        (Iceberg's overwrite serialization rule). Conflicts on OTHER
+        buckets rebase and retry. Omitting ``basis`` falls back to the
+        snapshot read here, which only protects against commits that
+        land after this call starts."""
         snap = self.current_snapshot()
-        sv = snap.current_schema_version
+        basis = basis or snap
+        sv = basis.current_schema_version
         written = self._write_bucketed(
-            df.select(*snap.schema.names()), snap, "mg",
+            df.select(*basis.schema.names()), basis, "mg",
             files_per_bucket=files_per_bucket, sort_within=sort_columns,
         )
-        new_entries = self._entries(written, sv, "base", snap)
+        new_entries = self._entries(written, sv, "base", basis)
         base = snap
         for attempt in range(COMMIT_RETRIES):
             if attempt:
                 base = self.current_snapshot()
-                if base.current_schema_version != sv or any(
-                    base.files.get(b, []) != snap.files.get(b, []) for b in buckets
-                ):
-                    raise CommitConflictError(
-                        "concurrent commit touched the buckets (or schema) this "
-                        "rewrite resolved from; re-plan from the current snapshot"
-                    )
+            if base.current_schema_version != sv or any(
+                base.files.get(b, []) != basis.files.get(b, []) for b in buckets
+            ):
+                raise CommitConflictError(
+                    "concurrent commit touched the buckets (or schema) this "
+                    "rewrite resolved from; re-plan from the current snapshot"
+                )
             files = {b: list(es) for b, es in base.files.items()}
             for b in buckets:
                 files[b] = []  # rewritten (possibly to empty if all rows deleted)
@@ -843,7 +904,7 @@ class ManifestTable:
         # keep target rows whose key is not in the batch, add the upserts
         survivors = existing.join(all_keys.dropDuplicates(self.key_columns), on=self.key_columns, how="left_anti")
         merged = survivors.unionByName(upserts)
-        return self.rewrite_buckets(touched, merged, properties_update)
+        return self.rewrite_buckets(touched, merged, properties_update, basis=snap)
 
     def added_files(self, from_version: int, to_version: int) -> dict[int, list[dict]]:
         """File entries present in ``to_version`` but not ``from_version``

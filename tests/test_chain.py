@@ -64,6 +64,47 @@ def test_chain_converges_incrementally(spark, tmp_path, changelog, modes):
     pd.testing.assert_frame_equal(_state(dst), _state(src))
 
 
+def test_chain_expired_watermark(spark, tmp_path, changelog):
+    """An expired upstream watermark snapshot: an EMPTY downstream
+    bootstraps from the full current state; a populated one fails
+    loudly (deletes in the lost window are unrecoverable)."""
+    src = ReplayEngine(spark, str(tmp_path / "src"), num_buckets=4, mode="mor")
+    src.replay(changelog)
+    src.compact(min_files=1)
+    # several more commits then expire everything old (incl. version 0)
+    for _ in range(3):
+        src.table.commit_appended({}, src.table.current_snapshot().current_schema_version)
+    src.table.expire_snapshots(keep_last=2)
+    assert 0 not in src.table._snapshot_versions()
+
+    fresh = ReplayEngine(spark, str(tmp_path / "fresh"), num_buckets=4, mode="mor")
+    r = propagate_changes(src, fresh)
+    assert not r["skipped"] and r["events"] > 0
+    pd.testing.assert_frame_equal(_state(fresh), _state(src))
+
+    # a populated downstream whose watermark expired must refuse
+    stale = ReplayEngine(spark, str(tmp_path / "stale"), num_buckets=4, mode="mor")
+    stale.replay(changelog, batches=[0])  # has data, watermark property 0
+    with pytest.raises(ValueError, match="expired"):
+        propagate_changes(src, stale)
+
+
+def test_chain_schema_mismatch_refused(spark, tmp_path, changelog):
+    from etl_spark.cdc.replay import CDC_TARGET_COLUMNS
+    from etl_spark.table.manifest import ColumnDef
+
+    src_cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in CDC_TARGET_COLUMNS]
+    src_cols.append(ColumnDef(100, "extra_dim", "string"))
+    src = ReplayEngine(
+        spark, str(tmp_path / "src"), num_buckets=4, mode="mor",
+        target_columns=src_cols,
+    )
+    dst = ReplayEngine(spark, str(tmp_path / "dst"), num_buckets=4, mode="mor")
+    src.replay(changelog.withColumn("extra_dim", changelog["lang"]), batches=[0])
+    with pytest.raises(ValueError, match="extra_dim"):
+        propagate_changes(src, dst)
+
+
 def test_mode_mismatch_attach_refused(spark, tmp_path, changelog):
     """A mor table attached as cow would silently read raw duplicate
     versions; the engine refuses, and ``attach`` picks the recorded

@@ -86,6 +86,10 @@ def test_cli_lookup_and_chain(spark, capsys, cli_dirs):
     assert out["found"] == 1
     assert out["rows"][0]["content_sha256"] == probe["content_sha256"]
 
+    with pytest.raises(SystemExit):  # malformed --key is an argparse error
+        main(["lookup", "--table", table, "--key", "repo"])
+    capsys.readouterr()
+
     dst = str(root / "chained")
     rc = main(["chain", "--src-table", table, "--table", dst])
     assert rc == 0

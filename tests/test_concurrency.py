@@ -208,6 +208,95 @@ def test_rewrite_conflict_on_same_bucket_raises(spark, table, monkeypatch):
         table.rewrite_buckets([target], rows_target)
 
 
+def test_rewrite_basis_detects_pre_call_commit(spark, table):
+    """The real-world TOCTOU ordering, no monkeypatch: the caller
+    resolves rows from snapshot S, a concurrent append commits into the
+    same bucket BEFORE rewrite_buckets is even called, and the rewrite
+    (passed basis=S) must refuse on its FIRST attempt instead of
+    silently erasing the appended rows."""
+    from etl_spark.table.manifest import bucket_expr
+
+    basis = table.current_snapshot()
+    target = sorted(basis.files)[0]
+    rows_target = table.read(buckets=[target], snapshot=basis)
+
+    extra = _rows(spark, 7000, 200).filter(
+        bucket_expr(["repo", "path"], basis.num_buckets) == target
+    )
+    assert extra.count() > 0
+    _second_handle(table).append_buckets(extra)
+
+    with pytest.raises(CommitConflictError, match="touched the buckets"):
+        table.rewrite_buckets([target], rows_target, basis=basis)
+    # the appended rows are intact
+    assert {r["v"] for r in table.read(buckets=[target]).collect()} >= {
+        r["v"] for r in extra.collect()
+    }
+
+
+def test_compact_refuses_over_concurrent_append(spark, tmp_path):
+    """Engine-level: compaction pins one snapshot for eligibility,
+    resolve, and commit; an append racing into a compacted bucket makes
+    the compaction fail loudly rather than lose the append."""
+    from etl_spark.cdc.changelog import generate_changelog
+    from etl_spark.cdc.replay import ReplayEngine
+    from etl_spark.table.manifest import ManifestTable
+
+    log = generate_changelog(spark, 1000, seed=3, n_repos=4, paths_per_repo=10,
+                             num_batches=2)
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=2, mode="mor",
+                       compact_threshold=0)
+    eng.replay(log)
+    state_before = {
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in eng.read_state().collect()
+    }
+
+    real = ManifestTable.current_snapshot
+    raced = {"done": False}
+
+    def race_once(tbl):
+        snap = real(tbl)
+        if not raced["done"]:
+            raced["done"] = True
+            # concurrent writer appends delta rows between compaction's
+            # snapshot pin and its commit (re-appending existing rows is
+            # enough to mutate the bucket entry lists; LWW tolerates the
+            # byte-identical duplicates)
+            rows = tbl.read(snapshot=snap).limit(20)
+            tbl.append_buckets(rows)
+        return snap
+
+    import unittest.mock as mock
+
+    with mock.patch.object(ManifestTable, "current_snapshot", race_once):
+        with pytest.raises(CommitConflictError):
+            eng.compact(min_files=1)
+    # nothing lost: both the original state and the raced append resolve
+    assert {
+        (r["repo"], r["path"], r["content_sha256"])
+        for r in eng.read_state().collect()
+    } >= set()
+    assert eng.read_state().count() >= len({k[:2] for k in state_before})
+
+
+def test_key_columns_mismatch_attach_refused(spark, tmp_path):
+    t = ManifestTable.create(
+        spark, str(tmp_path / "k"), SCHEMA, key_columns=["repo", "path"],
+        num_buckets=4,
+    )
+    t.overwrite(_rows(spark, 0, 10))
+    wrong = ManifestTable(spark, t.root, ["repo"])
+    with pytest.raises(ValueError, match="key_columns"):
+        wrong.current_snapshot()
+    assert ManifestTable.peek_properties(t.root)["key_columns"] == ["repo", "path"]
+
+
+def test_unsupported_where_op_rejected(table):
+    with pytest.raises(ValueError, match="unsupported where ops"):
+        table.read(where=[("v", "!=", 3)])
+
+
 def test_evolve_rebases_on_conflict(spark, table, monkeypatch):
     stale = table.current_snapshot()
     other = _second_handle(table)
