@@ -294,6 +294,47 @@ class ReplayEngine:
         out = raw.filter(~F.col("_deleted")).drop("_deleted")
         return out.select(*columns) if columns is not None else out
 
+    def describe(self) -> dict:
+        """Metadata-only operational summary — zero Spark jobs, zero
+        file reads: everything comes from the manifest's recorded
+        bytes/rows/kinds. At 100 TB, "how big is my table / how skewed
+        are my buckets / how much delta debt do I carry" must be a
+        manifest read, not a query. ``rows_in_files`` counts RAW stored
+        rows (old versions + tombstones included under mor); the live
+        row count is a query (``read_state().count()``) by nature."""
+        snap = self.table.current_snapshot()
+        per_bucket = []
+        for b, es in sorted(snap.files.items()):
+            per_bucket.append({
+                "bucket": b,
+                "files": len(es),
+                "bytes": sum(self.table._entry_bytes(e) for e in es),
+                "rows": sum(e.get("rows", 0) for e in es),
+                "delta_files": sum(1 for e in es if self.table._entry_is_delta(e)),
+            })
+        tot_bytes = sum(p["bytes"] for p in per_bucket)
+        max_bytes = max((p["bytes"] for p in per_bucket), default=0)
+        return {
+            "version": snap.version,
+            "schema_version": snap.current_schema_version,
+            "columns": snap.schema.names(),
+            "num_buckets": snap.num_buckets,
+            "mode": snap.properties.get("engine_mode"),
+            "key_columns": snap.properties.get("key_columns"),
+            "buckets_with_data": len(per_bucket),
+            "files": sum(p["files"] for p in per_bucket),
+            "bytes": tot_bytes,
+            "rows_in_files": sum(p["rows"] for p in per_bucket),
+            "delta_files": sum(p["delta_files"] for p in per_bucket),
+            # max-bucket share vs perfectly uniform (1.0 = uniform);
+            # the wave-quantization / hot-key early-warning number
+            "bucket_skew": (
+                max_bytes * len(per_bucket) / tot_bytes if tot_bytes else 0.0
+            ),
+            "fence_offset": int(snap.properties.get("fence_offset", -1)),
+            "applied_batches": len(snap.properties.get("applied_batches", [])),
+        }
+
     def lookup(self, **key_values) -> DataFrame:
         """Point lookup: the current live row for one fully-specified
         key. Plans a SINGLE bucket (the key's hash bucket) and prunes

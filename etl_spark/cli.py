@@ -248,7 +248,11 @@ def main(argv: list[str] | None = None) -> int:
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":
         state = engine.read_state()
-        print(json.dumps({"rows": state.count(), "columns": state.columns}))
+        print(json.dumps({
+            "rows": state.count(),
+            "columns": state.columns,
+            "table": engine.describe(),  # metadata-only summary
+        }))
     elif args.cmd == "lookup":
         kv = dict(args.key)
         rows = engine.lookup(**kv).collect()

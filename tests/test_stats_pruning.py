@@ -235,6 +235,25 @@ def test_sorted_compaction(spark, tmp_path):
     assert states[True] == states[False]
 
 
+def test_describe_is_metadata_consistent(spark, tmp_path):
+    log = generate_changelog(
+        spark, 2000, seed=23, n_repos=5, paths_per_repo=20, num_batches=2
+    )
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4, mode="mor")
+    eng.replay(log)
+    d = eng.describe()
+    assert d["mode"] == "mor" and d["key_columns"] == ["repo", "path"]
+    assert d["num_buckets"] == 4 and d["applied_batches"] == 2
+    assert d["bytes"] == eng.table.bucket_bytes()
+    assert d["rows_in_files"] >= eng.read_state().count()
+    assert d["files"] >= d["delta_files"] > 0
+    assert d["bucket_skew"] >= 1.0
+    snap = eng.table.current_snapshot()
+    assert d["rows_in_files"] == sum(
+        e["rows"] for es in snap.files.values() for e in es
+    )
+
+
 def test_engine_lookup_and_pushdown(spark, tmp_path):
     log = generate_changelog(
         spark, 2000, seed=11, n_repos=5, paths_per_repo=20, num_batches=2
