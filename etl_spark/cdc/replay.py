@@ -234,6 +234,7 @@ class ReplayEngine:
         self,
         where: list[tuple] | None = None,
         columns: list[str] | None = None,
+        at_version: int | None = None,
     ) -> DataFrame:
         """Current table state. In mor mode, resolves base+delta files
         with the same LWW rule the merge uses and drops tombstones; in
@@ -255,7 +256,13 @@ class ReplayEngine:
         requested columns (plus keys/order internally), so the parquet
         scan never reads the others. Asking for keys only on a content
         table skips the content bytes entirely — the difference between
-        a metadata-sized and a table-sized job at 100 TB."""
+        a metadata-sized and a table-sized job at 100 TB.
+
+        ``at_version`` time-travels: the state AS OF that snapshot
+        version (mor resolves the files that snapshot listed; data
+        files are immutable, so any retained snapshot replays its exact
+        historical state — expire with ``keep_last`` sized to how far
+        back you need to look)."""
         from etl_spark.cdc.merge import resolve_state
 
         preds = list(where or [])
@@ -264,16 +271,20 @@ class ReplayEngine:
             raise ValueError(
                 f"unsupported where ops {bad_ops}; supported: = < <= > >= in"
             )
+        snap = (
+            self.table.snapshot_at(at_version) if at_version is not None else None
+        )
         keyset = set(self.table.key_columns)
         key_preds = [p for p in preds if p[0] in keyset]
         rest = [p for p in preds if p[0] not in keyset]
         if columns is not None:
-            valid = set(self.table.current_snapshot().schema.names()) - {"_deleted"}
+            target = snap or self.table.current_snapshot()
+            valid = set(target.schema.names()) - {"_deleted"}
             unknown = [c for c in columns if c not in valid]
             if unknown:
                 raise ValueError(f"columns not in table state: {unknown}")
         if self.mode == "mor":
-            raw = self.table.read(where=key_preds or None)
+            raw = self.table.read(where=key_preds or None, snapshot=snap)
             if columns is not None:
                 needed = dict.fromkeys(
                     self.table.key_columns
@@ -290,7 +301,7 @@ class ReplayEngine:
             if rest:
                 out = out.filter(ManifestTable._where_to_column(rest))
             return out.select(*columns) if columns is not None else out
-        raw = self.table.read(where=preds or None)
+        raw = self.table.read(where=preds or None, snapshot=snap)
         out = raw.filter(~F.col("_deleted")).drop("_deleted")
         return out.select(*columns) if columns is not None else out
 

@@ -235,6 +235,38 @@ def test_sorted_compaction(spark, tmp_path):
     assert states[True] == states[False]
 
 
+def test_read_state_time_travel(spark, tmp_path):
+    """read_state(at_version=...) resolves the state AS OF a retained
+    snapshot — batch 1's effects absent at the pre-batch-1 version,
+    present at head; composes with where/columns."""
+    log = generate_changelog(
+        spark, 2000, seed=29, n_repos=5, paths_per_repo=20, num_batches=2
+    )
+    for mode in ("mor", "cow"):
+        eng = ReplayEngine(spark, str(tmp_path / f"t-{mode}"), num_buckets=4, mode=mode)
+        eng.replay(log, batches=[0])
+        v0 = eng.table.current_snapshot().version
+        want_v0 = {
+            (r["repo"], r["path"], r["content_sha256"])
+            for r in eng.read_state().collect()
+        }
+        eng.replay(log, batches=[1])
+        got_v0 = {
+            (r["repo"], r["path"], r["content_sha256"])
+            for r in eng.read_state(at_version=v0).collect()
+        }
+        assert got_v0 == want_v0
+        assert {
+            tuple(r)
+            for r in eng.read_state(at_version=v0, columns=["repo", "path"]).collect()
+        } == {k[:2] for k in want_v0}
+        head = {
+            (r["repo"], r["path"], r["content_sha256"])
+            for r in eng.read_state().collect()
+        }
+        assert head != got_v0  # batch 1 changed something
+
+
 def test_describe_is_metadata_consistent(spark, tmp_path):
     log = generate_changelog(
         spark, 2000, seed=23, n_repos=5, paths_per_repo=20, num_batches=2
