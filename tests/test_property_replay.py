@@ -1,0 +1,78 @@
+"""Property-based replay determinism: for RANDOM changelog shapes
+(seed, skew, op mix, batch split, mode, strategy), replaying the log
+always reaches the pandas oracle's final state with exact sha256
+parity. The deterministic seed-42 suites pin known shapes; this sweeps
+the shape space (bounded examples — each case is a full engine run)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from etl_spark.cdc.changelog import generate_changelog
+from etl_spark.cdc.replay import ReplayEngine
+from tests.oracle import apply_log_oracle
+
+CASE = st.fixed_dictionaries(
+    {
+        "seed": st.integers(min_value=0, max_value=2**31 - 1),
+        "n_events": st.integers(min_value=50, max_value=1200),
+        "n_repos": st.integers(min_value=1, max_value=8),
+        "paths_per_repo": st.integers(min_value=1, max_value=15),
+        "hot_share": st.floats(min_value=0.0, max_value=0.9),
+        "num_batches": st.integers(min_value=1, max_value=5),
+        "p_insert": st.floats(min_value=0.1, max_value=0.7),
+        "p_update": st.floats(min_value=0.0, max_value=0.3),
+        "mode": st.sampled_from(["cow", "mor"]),
+        "lww_strategy": st.sampled_from(["broadcast", "agg", "salted"]),
+    }
+)
+
+
+@pytest.fixture(scope="module")
+def mk_engine(spark, tmp_path_factory):
+    counter = {"n": 0}
+
+    def make(mode, lww_strategy):
+        counter["n"] += 1
+        root = tmp_path_factory.mktemp("prop") / f"t{counter['n']}"
+        return ReplayEngine(
+            spark, str(root), num_buckets=3, mode=mode, lww_strategy=lww_strategy,
+            compact_threshold=2,
+        )
+
+    return make
+
+
+@settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=CASE)
+def test_replay_matches_oracle_for_random_shapes(spark, mk_engine, case):
+    log = generate_changelog(
+        spark,
+        case["n_events"],
+        seed=case["seed"],
+        n_repos=case["n_repos"],
+        paths_per_repo=case["paths_per_repo"],
+        hot_share=case["hot_share"],
+        num_batches=case["num_batches"],
+        p_insert=case["p_insert"],
+        p_update=case["p_update"],
+    )
+    pdf = log.toPandas()
+    want = apply_log_oracle(pdf)
+    eng = mk_engine(case["mode"], case["lww_strategy"])
+    eng.replay(log)
+    got = (
+        eng.read_state()
+        .select("repo", "path", "commit", "lang", "content", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
