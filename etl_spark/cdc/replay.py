@@ -305,6 +305,31 @@ class ReplayEngine:
         out = raw.filter(~F.col("_deleted")).drop("_deleted")
         return out.select(*columns) if columns is not None else out
 
+    def rebucket(self, new_num_buckets: int) -> None:
+        """Evolve the table's bucket layout (e.g. 16 -> 256 as the table
+        grows). One atomic O(table) rewrite — schedule like a major
+        compaction; replay batches before and after use whichever layout
+        their snapshot records. Write fan-out and key sorting follow the
+        engine's compaction policy."""
+        from etl_spark.table.manifest import compact_fanout
+
+        total = self.table.bucket_bytes()
+        k = compact_fanout(-(-int(total) // max(1, new_num_buckets)))
+        old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
+        try:
+            # the scan->write exchange IS the new bucket layout when the
+            # partition count matches (same fusion as compaction)
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(new_num_buckets * k)
+            )
+            self.table.rebucket(
+                new_num_buckets,
+                files_per_bucket=k,
+                sort_columns=self.table.key_columns if self.compact_sort else None,
+            )
+        finally:
+            self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+
     def describe(self) -> dict:
         """Metadata-only operational summary — zero Spark jobs, zero
         file reads: everything comes from the manifest's recorded

@@ -149,6 +149,14 @@ def _build_parser() -> argparse.ArgumentParser:
     ch.add_argument("--src-table", required=True, help="upstream lake table root")
     common(ch)
 
+    rb = sub.add_parser(
+        "rebucket",
+        help="evolve the bucket layout (one atomic O(table) rewrite; "
+        "schedule like a major compaction)",
+    )
+    rb.add_argument("--new-buckets", type=int, required=True)
+    common(rb)
+
     m = sub.add_parser("metrics", help="per-batch ingest metrics")
     common(m)
     return p
@@ -244,6 +252,12 @@ def main(argv: list[str] | None = None) -> int:
             min_files=args.min_files,
             tombstone_commit_watermark=args.tombstone_watermark,
             min_delta_fraction=args.min_delta_fraction)}))
+    elif args.cmd == "rebucket":
+        engine.rebucket(args.new_buckets)
+        print(json.dumps({
+            "num_buckets": engine.table.current_snapshot().num_buckets,
+            "rows": engine.read_state().count(),
+        }))
     elif args.cmd == "expire":
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":

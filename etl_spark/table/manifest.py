@@ -906,6 +906,60 @@ class ManifestTable:
         merged = survivors.unionByName(upserts)
         return self.rewrite_buckets(touched, merged, properties_update, basis=snap)
 
+    def rebucket(
+        self,
+        new_num_buckets: int,
+        files_per_bucket: int = 1,
+        sort_columns: list[str] | None = None,
+    ) -> Snapshot:
+        """Layout evolution: rewrite the WHOLE table under a new bucket
+        count in one atomic snapshot — the partition-spec-evolution
+        analog. A table created at 16 buckets that grows 100x needs
+        ~10^3-10^5; every snapshot records its own ``num_buckets``, so
+        readers (including time travel to pre-rebucket versions) and all
+        subsequent merges pick up the layout from the snapshot they
+        read, automatically.
+
+        O(table) by nature — schedule like a major compaction. Rows are
+        carried RAW (every stored version + tombstone under mor), so
+        resolution semantics are unchanged; any concurrent commit during
+        the rewrite raises ``CommitConflictError`` (the basis here is
+        the entire table)."""
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        basis = self.current_snapshot()
+        rows = self.read(snapshot=basis)
+        # a layout-carrier copy of the basis: _write_bucketed takes the
+        # bucket count and schema from the snapshot it is given
+        carrier = Snapshot(
+            version=basis.version,
+            current_schema_version=basis.current_schema_version,
+            schemas=basis.schemas,
+            num_buckets=new_num_buckets,
+            files={},
+            properties=basis.properties,
+        )
+        written = self._write_bucketed(
+            rows, carrier, "rb",
+            files_per_bucket=files_per_bucket, sort_within=sort_columns,
+        )
+        entries = self._entries(written, basis.current_schema_version, "base", basis)
+        cur = self.current_snapshot()
+        if cur.version != basis.version:
+            raise CommitConflictError(
+                "concurrent commit during rebucket; re-run against the new state"
+            )
+        new = Snapshot(
+            version=basis.version + 1,
+            current_schema_version=basis.current_schema_version,
+            schemas=basis.schemas,
+            num_buckets=new_num_buckets,
+            files={b: [e] for b, e in entries.items()},
+            properties=basis.properties,
+        )
+        self._commit(new)
+        return new
+
     def added_files(self, from_version: int, to_version: int) -> dict[int, list[dict]]:
         """File entries present in ``to_version`` but not ``from_version``
         (Iceberg incremental-scan shape: snapshots are immutable, so the
