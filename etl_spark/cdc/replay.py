@@ -63,6 +63,7 @@ class ReplayEngine:
         tombstone_commit_watermark: str | None = None,
         compact_delta_fraction: float | None = None,
         compact_sort: bool = True,
+        stats_columns: list[str] | None = None,
     ):
         """``target_columns``/``key_columns`` customize the v1 table shape
         (default: the north-rule source-code schema keyed on (repo,
@@ -91,7 +92,12 @@ class ReplayEngine:
         tight key min/max range, so pushed key predicates (point
         lookups, ``read_state(where=...)``) skip row groups inside the
         key's bucket — the Iceberg sort-order analog. The one-time sort
-        cost is paid at compaction where it amortizes over reads."""
+        cost is paid at compaction where it amortizes over reads.
+
+        ``stats_columns`` (create-time only): extra columns tracked for
+        file-entry min/max statistics beyond the key columns — e.g.
+        ``["commit"]`` lets ``read_state(where=[("commit", ">=", …)])``
+        prune whole entries."""
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg", "salted")
         self.spark = spark
@@ -143,7 +149,9 @@ class ReplayEngine:
                 key_columns=keys,
                 num_buckets=num_buckets,
                 properties={"applied_batches": [], "applied_schema_ops": [],
-                            "fence_offset": -1, "engine_mode": mode},
+                            "fence_offset": -1, "engine_mode": mode,
+                            **({"stats_columns": ",".join(stats_columns)}
+                               if stats_columns else {})},
             )
         self._metrics_dir = os.path.join(table_root, "_ingest_metrics")
 

@@ -92,6 +92,28 @@ def test_rebucket_cli(spark, tmp_path, changelog, capsys):
     assert out["num_buckets"] == 32 and out["rows"] > 0
 
 
+def test_chain_survives_upstream_rebucket(spark, tmp_path, changelog):
+    """An upstream rebucket is a whole-table rewrite; its echoes carry
+    old offsets that the downstream fence drops — the chain stays
+    converged and later increments still flow."""
+    from etl_spark.cdc.chain import propagate_changes
+
+    src = ReplayEngine(spark, str(tmp_path / "src"), num_buckets=4, mode="mor")
+    dst = ReplayEngine(spark, str(tmp_path / "dst"), num_buckets=4, mode="mor")
+    src.replay(changelog, batches=[0, 1])
+    propagate_changes(src, dst)
+
+    src.rebucket(16)
+    r = propagate_changes(src, dst)  # rewrite echo -> fenced to nothing
+    assert not r["skipped"] and r["events"] == 0
+    pd.testing.assert_frame_equal(_state(dst), _state(src))
+
+    src.replay(changelog, batches=[2, 3])
+    r = propagate_changes(src, dst)
+    assert r["events"] > 0
+    pd.testing.assert_frame_equal(_state(dst), _state(src))
+
+
 def test_rebucket_conflict_detected(spark, tmp_path, changelog, monkeypatch):
     eng = ReplayEngine(spark, str(tmp_path / "c"), num_buckets=4, mode="mor")
     eng.replay(changelog, batches=[0])

@@ -235,6 +235,27 @@ def test_sorted_compaction(spark, tmp_path):
     assert states[True] == states[False]
 
 
+def test_engine_stats_columns_knob(spark, tmp_path):
+    """Engine-level stats_columns: extra tracked columns make value
+    predicates prunable (e.g. commit ranges)."""
+    log = generate_changelog(
+        spark, 1000, seed=37, n_repos=4, paths_per_repo=10, num_batches=2
+    )
+    eng = ReplayEngine(
+        spark, str(tmp_path / "t"), num_buckets=4, mode="mor",
+        stats_columns=["commit"],
+    )
+    eng.replay(log)
+    snap = eng.table.current_snapshot()
+    commit_id = next(
+        c.id for c in snap.schema.columns if c.name == "commit"
+    )
+    entries = [e for es in snap.files.values() for e in es]
+    assert all(str(commit_id) in e["stats"] for e in entries)
+    got = eng.read_state(where=[("commit", ">=", "c")]).count()
+    assert got == eng.read_state().filter("commit >= 'c'").count()
+
+
 def test_read_state_time_travel(spark, tmp_path):
     """read_state(at_version=...) resolves the state AS OF a retained
     snapshot — batch 1's effects absent at the pre-batch-1 version,
