@@ -134,12 +134,23 @@ class ReplayEngine:
             # silent duplicates and stale versions, no error. Refuse the
             # mismatch instead (legacy tables without the property are
             # accepted as-is).
-            recorded = self.table.current_snapshot().properties.get("engine_mode")
+            props = self.table.current_snapshot().properties
+            recorded = props.get("engine_mode")
             if recorded and recorded != mode:
                 raise ValueError(
                     f"table at {table_root!r} was written in mode={recorded!r}; "
                     f"attaching with mode={mode!r} would mis-read it. Pass the "
                     "recorded mode (see ReplayEngine.attach)."
+                )
+            if stats_columns is not None and ",".join(stats_columns) != props.get(
+                "stats_columns", ""
+            ):
+                raise ValueError(
+                    "stats_columns is a CREATE-time knob; this existing table "
+                    f"records {props.get('stats_columns', '')!r}. Passing a "
+                    "different value here would be silently ignored — attach "
+                    "without it, or set the 'stats_columns' table property "
+                    "explicitly (affects future commits only)."
                 )
         else:
             self.table = ManifestTable.create(
@@ -279,9 +290,17 @@ class ReplayEngine:
             raise ValueError(
                 f"unsupported where ops {bad_ops}; supported: = < <= > >= in"
             )
-        snap = (
-            self.table.snapshot_at(at_version) if at_version is not None else None
-        )
+        snap = None
+        if at_version is not None:
+            try:
+                snap = self.table.snapshot_at(at_version)
+            except FileNotFoundError:
+                raise ValueError(
+                    f"no snapshot at version {at_version}: it never existed or "
+                    "was expired (size expire_snapshots keep_last to the "
+                    "history you need; retained versions: "
+                    f"{self.table._snapshot_versions()})"
+                ) from None
         keyset = set(self.table.key_columns)
         key_preds = [p for p in preds if p[0] in keyset]
         rest = [p for p in preds if p[0] not in keyset]
@@ -318,25 +337,31 @@ class ReplayEngine:
         grows). One atomic O(table) rewrite — schedule like a major
         compaction; replay batches before and after use whichever layout
         their snapshot records. Write fan-out and key sorting follow the
-        engine's compaction policy."""
+        engine's compaction policy. (No shuffle-partition juggling here:
+        unlike compaction, the rebucket plan has no upstream aggregation
+        exchange to fuse — it is scan -> one explicit repartition ->
+        write, see BENCH/PLANS.md.)"""
         from etl_spark.table.manifest import compact_fanout
 
-        total = self.table.bucket_bytes()
-        k = compact_fanout(-(-int(total) // max(1, new_num_buckets)))
-        old_sp = self.spark.conf.get("spark.sql.shuffle.partitions")
-        try:
-            # the scan->write exchange IS the new bucket layout when the
-            # partition count matches (same fusion as compaction)
-            self.spark.conf.set(
-                "spark.sql.shuffle.partitions", str(new_num_buckets * k)
-            )
-            self.table.rebucket(
-                new_num_buckets,
-                files_per_bucket=k,
-                sort_columns=self.table.key_columns if self.compact_sort else None,
-            )
-        finally:
-            self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
+        sizes = self.table.bucket_bytes(per_bucket=True)
+        total = sum(sizes.values())
+        old_n = max(1, len(sizes))
+        # fan-out sized from the PROJECTED max new bucket, not the mean
+        # (compact_fanout's contract): the mean floor plus the hottest
+        # old bucket's bytes spread over its share of new buckets. A
+        # single hot KEY cannot split across buckets, so true worst case
+        # can exceed this — the projection is the best available without
+        # key-level stats.
+        mean_new = -(-int(total) // max(1, new_num_buckets))
+        max_old = max(sizes.values(), default=0)
+        projected_max = max(
+            mean_new, -(-int(max_old) * old_n // max(1, new_num_buckets))
+        )
+        self.table.rebucket(
+            new_num_buckets,
+            files_per_bucket=compact_fanout(projected_max),
+            sort_columns=self.table.key_columns if self.compact_sort else None,
+        )
 
     def describe(self) -> dict:
         """Metadata-only operational summary — zero Spark jobs, zero
@@ -347,15 +372,7 @@ class ReplayEngine:
         rows (old versions + tombstones included under mor); the live
         row count is a query (``read_state().count()``) by nature."""
         snap = self.table.current_snapshot()
-        per_bucket = []
-        for b, es in sorted(snap.files.items()):
-            per_bucket.append({
-                "bucket": b,
-                "files": len(es),
-                "bytes": sum(self.table._entry_bytes(e) for e in es),
-                "rows": sum(e.get("rows", 0) for e in es),
-                "delta_files": sum(1 for e in es if self.table._entry_is_delta(e)),
-            })
+        per_bucket = self.table.bucket_summary(snap)
         tot_bytes = sum(p["bytes"] for p in per_bucket)
         max_bytes = max((p["bytes"] for p in per_bucket), default=0)
         return {
@@ -370,10 +387,12 @@ class ReplayEngine:
             "bytes": tot_bytes,
             "rows_in_files": sum(p["rows"] for p in per_bucket),
             "delta_files": sum(p["delta_files"] for p in per_bucket),
-            # max-bucket share vs perfectly uniform (1.0 = uniform);
-            # the wave-quantization / hot-key early-warning number
+            # max-bucket share vs perfectly uniform over the FULL layout
+            # (1.0 = uniform; empty buckets COUNT — all data in one of 16
+            # buckets is skew 16, not 1). The wave-quantization / hot-key
+            # early-warning number.
             "bucket_skew": (
-                max_bytes * len(per_bucket) / tot_bytes if tot_bytes else 0.0
+                max_bytes * snap.num_buckets / tot_bytes if tot_bytes else 0.0
             ),
             "fence_offset": int(snap.properties.get("fence_offset", -1)),
             "applied_batches": len(snap.properties.get("applied_batches", [])),

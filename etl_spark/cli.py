@@ -254,9 +254,11 @@ def main(argv: list[str] | None = None) -> int:
             min_delta_fraction=args.min_delta_fraction)}))
     elif args.cmd == "rebucket":
         engine.rebucket(args.new_buckets)
+        d = engine.describe()  # metadata-only: no second O(table) scan
         print(json.dumps({
-            "num_buckets": engine.table.current_snapshot().num_buckets,
-            "rows": engine.read_state().count(),
+            "num_buckets": d["num_buckets"],
+            "rows_in_files": d["rows_in_files"],
+            "bytes": d["bytes"],
         }))
     elif args.cmd == "expire":
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))

@@ -580,8 +580,13 @@ class ManifestTable:
         recording bytes / rows / per-column min-max from parquet FOOTER
         metadata (``stats.collect_dir_stats`` — no data pages read).
         Stats are keyed by COLUMN ID so they survive renames; cost is
-        O(touched buckets) footer reads per commit, never table-sized."""
-        base = {"sv": sv, "kind": kind}
+        O(touched buckets) footer reads per commit, never table-sized.
+
+        Every entry records ``nb`` — the bucket COUNT its rows were
+        hashed under — so a commit rebasing across a concurrent
+        ``rebucket`` can detect that its files belong to a dead layout
+        instead of silently registering wrong-bucket rows."""
+        base = {"sv": sv, "kind": kind, "nb": snap.num_buckets}
         if not RECORD_STATS:
             return {b: {"path": p, **base} for b, p in written.items()}
         sv_by_id = snap.schemas[sv].by_id()
@@ -624,9 +629,10 @@ class ManifestTable:
         for attempt in range(COMMIT_RETRIES):
             if attempt:
                 base = self.current_snapshot()
-                if base.current_schema_version != sv:
+                if base.current_schema_version != sv or base.num_buckets != snap.num_buckets:
                     raise CommitConflictError(
-                        "concurrent schema evolution during overwrite; re-plan"
+                        "concurrent schema evolution or rebucket during "
+                        "overwrite; re-plan"
                     )
             try:
                 # full replace: a rebase just takes the next version —
@@ -674,12 +680,18 @@ class ManifestTable:
         for attempt in range(COMMIT_RETRIES):
             if attempt:
                 base = self.current_snapshot()
-            if base.current_schema_version != sv or any(
-                base.files.get(b, []) != basis.files.get(b, []) for b in buckets
+            if (
+                base.current_schema_version != sv
+                or base.num_buckets != basis.num_buckets
+                or any(
+                    base.files.get(b, []) != basis.files.get(b, [])
+                    for b in buckets
+                )
             ):
                 raise CommitConflictError(
-                    "concurrent commit touched the buckets (or schema) this "
-                    "rewrite resolved from; re-plan from the current snapshot"
+                    "concurrent commit touched the buckets, schema, or bucket "
+                    "layout this rewrite resolved from; re-plan from the "
+                    "current snapshot"
                 )
             files = {b: list(es) for b, es in base.files.items()}
             for b in buckets:
@@ -769,9 +781,25 @@ class ManifestTable:
         for _ in range(COMMIT_RETRIES):
             snap = self.current_snapshot()
             raw = {b: v for b, v in written.items() if isinstance(v, str)}
+            prepared = {b: v for b, v in written.items() if not isinstance(v, str)}
+            # layout fence: delta files hashed under a bucket count that
+            # a concurrent rebucket has since replaced must NOT rebase —
+            # their rows would sit in wrong-bucket entries, invisible to
+            # key-pruned reads and scattered by the next compaction
+            stale = [
+                b for b, e in prepared.items()
+                if e.get("nb") is not None and e["nb"] != snap.num_buckets
+            ]
+            if stale:
+                raise CommitConflictError(
+                    f"delta files for buckets {sorted(stale)} were written under "
+                    f"a {prepared[stale[0]]['nb']}-bucket layout but the table "
+                    f"now has {snap.num_buckets} buckets (concurrent rebucket); "
+                    "re-plan the batch against the current snapshot"
+                )
             entries = {
                 **self._entries(raw, schema_version, "delta", snap),
-                **{b: v for b, v in written.items() if not isinstance(v, str)},
+                **prepared,
             }
             files = {b: list(es) for b, es in snap.files.items()}
             for b, e in entries.items():
@@ -843,6 +871,22 @@ class ManifestTable:
                 continue
             sizes[b] = sum(self._entry_bytes(e) for e in entries)
         return sizes if per_bucket else sum(sizes.values())
+
+    def bucket_summary(self, snapshot: Snapshot | None = None) -> list[dict]:
+        """Per-bucket metadata summary (files / bytes / rows / delta
+        count) from recorded entry stats — lives here because the entry
+        format is owned here; zero file reads for post-stats tables."""
+        snap = snapshot or self.current_snapshot()
+        return [
+            {
+                "bucket": b,
+                "files": len(es),
+                "bytes": sum(self._entry_bytes(e) for e in es),
+                "rows": sum(e.get("rows", 0) for e in es),
+                "delta_files": sum(1 for e in es if self._entry_is_delta(e)),
+            }
+            for b, es in sorted(snap.files.items())
+        ]
 
     def bucket_delta_base_bytes(
         self, buckets: list[int] | None = None, snapshot: Snapshot | None = None

@@ -89,7 +89,7 @@ def test_rebucket_cli(spark, tmp_path, changelog, capsys):
     assert main(["rebucket", "--table", table, "--new-buckets", "32",
                  "--mode", "mor"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out["num_buckets"] == 32 and out["rows"] > 0
+    assert out["num_buckets"] == 32 and out["rows_in_files"] > 0
 
 
 def test_chain_survives_upstream_rebucket(spark, tmp_path, changelog):
@@ -112,6 +112,55 @@ def test_chain_survives_upstream_rebucket(spark, tmp_path, changelog):
     r = propagate_changes(src, dst)
     assert r["events"] > 0
     pd.testing.assert_frame_equal(_state(dst), _state(src))
+
+
+def test_append_across_rebucket_refused(spark, tmp_path, changelog):
+    """The reverse interleaving: delta files WRITTEN under the old
+    layout must not commit after a rebucket replaced it — their rows
+    would sit in wrong-bucket entries, invisible to key-pruned reads."""
+    eng = ReplayEngine(spark, str(tmp_path / "x"), num_buckets=4, mode="mor")
+    eng.replay(changelog, batches=[0])
+    old_snap = eng.table.current_snapshot()
+    written = eng.table.write_delta_files(
+        eng.table.read(snapshot=old_snap).limit(10), old_snap
+    )
+    eng.rebucket(8)
+    with pytest.raises(CommitConflictError, match="bucket layout|rebucket"):
+        eng.table.commit_appended(written, old_snap.current_schema_version)
+
+
+def test_time_travel_to_expired_version_is_valueerror(spark, tmp_path, changelog):
+    eng = ReplayEngine(spark, str(tmp_path / "tt"), num_buckets=4, mode="mor")
+    eng.replay(changelog)
+    with pytest.raises(ValueError, match="never existed or"):
+        eng.read_state(at_version=999)
+
+
+def test_stats_columns_attach_mismatch_refused(spark, tmp_path, changelog):
+    root = str(tmp_path / "sc")
+    ReplayEngine(spark, root, num_buckets=4, mode="mor").replay(
+        changelog, batches=[0]
+    )
+    with pytest.raises(ValueError, match="CREATE-time knob"):
+        ReplayEngine(spark, root, num_buckets=4, mode="mor", stats_columns=["commit"])
+
+
+def test_bucket_skew_counts_empty_buckets(spark, tmp_path):
+    """All data in one of 8 buckets must report skew 8, not 1."""
+    from pyspark.sql import functions as F
+
+    eng = ReplayEngine(spark, str(tmp_path / "sk"), num_buckets=8, mode="cow")
+    one_key = spark.range(5).select(
+        F.lit("r0").alias("repo"), F.lit("p0").alias("path"),
+        F.concat(F.lit("c"), F.col("id").cast("string")).alias("commit"),
+        F.lit("go").alias("lang"), F.lit("x").alias("content"),
+        F.lit(None).cast("string").alias("content_sha256"),
+        F.col("id").alias("_ingest_offset"),
+        F.lit(0).cast("int").alias("_ingest_batch"),
+        F.lit(False).alias("_deleted"),
+    )
+    eng.table.overwrite(one_key)
+    assert eng.describe()["bucket_skew"] == pytest.approx(8.0)
 
 
 def test_rebucket_conflict_detected(spark, tmp_path, changelog, monkeypatch):
