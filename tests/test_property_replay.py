@@ -6,6 +6,8 @@ the shape space (bounded examples — each case is a full engine run)."""
 
 from __future__ import annotations
 
+import os
+
 import pandas as pd
 import pytest
 from hypothesis import HealthCheck, given, settings
@@ -47,7 +49,9 @@ def mk_engine(spark, tmp_path_factory):
 
 
 @settings(
-    max_examples=5,
+    # 5 keeps the suite fast; raise via env for one-off deep sweeps
+    # (PROP_MAX_EXAMPLES=25 python -m pytest tests/test_property_replay.py)
+    max_examples=int(os.environ.get("PROP_MAX_EXAMPLES", "5")),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
