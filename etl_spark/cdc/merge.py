@@ -311,10 +311,6 @@ def merge_batch(
             except BaseException as e:  # re-raised on join below
                 stats_holder["err"] = e
 
-        stats_thread = threading.Thread(target=_collect_stats, daemon=True)
-        stats_thread.start()
-        t_planned = time.monotonic()
-
         # write winners as deltas (deletes ride along as tombstones);
         # nothing is read, nothing is rewritten — one bucket-aligned
         # shuffle + write per batch. The normalize+sha256 pandas_udf runs
@@ -324,22 +320,32 @@ def merge_batch(
         # the commit would leave the batch durably applied with its
         # metrics/lineage rows permanently missing (resume skips applied
         # batches) — failing before the commit makes resume recompute.
+        #
+        # fused path: make the winners agg's exchange BE the bucket
+        # exchange — with shuffle.partitions == num_buckets the explicit
+        # repartition in the writer is redundant and eliminated, so
+        # content is shuffled once. Session conf is per-session shared
+        # state, so the override brackets the ENTIRE batch — set before
+        # the stats thread starts, restored only after it joins — making
+        # every plan built inside the batch (write AND concurrent stats)
+        # see one constant value instead of racing a mid-batch restore.
+        # Cross-session exposure is the documented single-logical-writer
+        # assumption; pass the engine a dedicated spark.newSession() to
+        # isolate it from other workloads sharing the context.
         sess = batch_events.sparkSession
         old_sp = sess.conf.get("spark.sql.shuffle.partitions")
+        sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
         try:
-            # fused path: make the winners agg's exchange BE the bucket
-            # exchange — with shuffle.partitions == num_buckets the
-            # explicit repartition in the writer is redundant and
-            # eliminated, so content is shuffled once
-            sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+            stats_thread = threading.Thread(target=_collect_stats, daemon=True)
+            stats_thread.start()
+            t_planned = time.monotonic()
             written = table.write_delta_files(
                 delta, snap, post_shuffle=with_content_sha256
             )
+            t_written = time.monotonic()
+            stats_thread.join()
         finally:
             sess.conf.set("spark.sql.shuffle.partitions", old_sp)
-        t_written = time.monotonic()
-
-        stats_thread.join()
         if "err" in stats_holder:
             raise stats_holder["err"]
         per_bucket = stats_holder["rows"]

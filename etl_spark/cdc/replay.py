@@ -343,9 +343,13 @@ class ReplayEngine:
         write, see BENCH/PLANS.md.)"""
         from etl_spark.table.manifest import compact_fanout
 
-        sizes = self.table.bucket_bytes(per_bucket=True)
+        snap = self.table.current_snapshot()
+        sizes = self.table.bucket_bytes(per_bucket=True, snapshot=snap)
         total = sum(sizes.values())
-        old_n = max(1, len(sizes))
+        # the SNAPSHOT's bucket count, not the count of non-empty
+        # buckets: with many empty buckets the latter underestimates
+        # old_n and shrinks projected_max / the write fan-out
+        old_n = max(1, snap.num_buckets)
         # fan-out sized from the PROJECTED max new bucket, not the mean
         # (compact_fanout's contract): the mean floor plus the hottest
         # old bucket's bytes spread over its share of new buckets. A

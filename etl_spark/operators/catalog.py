@@ -46,12 +46,16 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     # --- windows ---
     "window_top1_per_key": (R.window_top1_per_key, R.WINDOW_TOP1_SQL),
     "window_rank_topk": (R.window_rank_topk, R.WINDOW_RANK_TOPK_SQL),
-    "window_running_sum": (R.window_running_sum, R.WINDOW_RUNNING_SUM_SQL),
-    "window_lag_delta": (R.window_lag_delta, R.WINDOW_LAG_DELTA_SQL),
+    # running sum + lag delta share one per-key window: one combined
+    # entry keeps the catalog within the driver's 50-entry CORRECTNESS
+    # window so EVERY entry gets a driver-checked row each round
+    # (standalone window_running_sum / window_lag_delta remain as
+    # library functions)
+    "window_running_lag": (R.window_running_lag, R.WINDOW_RUNNING_LAG_SQL),
     # --- set ops ---
     "union_dedup": (R.union_dedup, R.UNION_DEDUP_SQL),
-    "except_all_keys": (R.except_all_keys, R.EXCEPT_ALL_KEYS_SQL),
-    "intersect_keys": (R.intersect_keys, R.INTERSECT_KEYS_SQL),
+    # except + intersect consolidated for the same reason
+    "set_ops_keys": (R.set_ops_keys, R.SET_OPS_KEYS_SQL),
     # --- scalar functions ---
     "string_functions": (R.string_functions, R.STRING_FUNCTIONS_SQL),
     "date_functions": (R.date_functions, R.DATE_FUNCTIONS_SQL),

@@ -394,7 +394,7 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b").persist()
     edges = pairs.unionByName(
         pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).persist()
+    )
     labels = (
         edges.select(F.col("doc_a").alias("doc_id"))
         .distinct()
@@ -404,20 +404,30 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     n_vertices = labels.count()
     # the loop's frames are pair-graph-sized (docs IN near-dup pairs),
     # far smaller than the corpus — size its shuffles to the measured
-    # vertex count instead of the session default, or every round pays
-    # full-width task overhead on a few hundred rows (persist
-    # boundaries keep AQE from coalescing across rounds)
-    sess = labels.sparkSession
-    old_sp = sess.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(old_sp), -(-n_vertices // 100_000)))
-    sess.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        return _propagate_labels(edges, labels, pairs)
-    finally:
-        sess.conf.set("spark.sql.shuffle.partitions", old_sp)
+    # vertex count, or every round pays full-width task overhead on a
+    # few hundred rows. Sized with EXPLICIT repartition on the loop
+    # frames, never by mutating spark.sql.shuffle.partitions: session
+    # conf is shared state and the engine overlaps jobs on threads
+    # (stats thread, pipelined writes), so a temporary global would
+    # race any concurrent plan. Pinning edges on the join key and each
+    # round's labels on doc_id keeps the join co-partitioned at
+    # loop_parts; the min-agg keeps its map-side combine and AQE
+    # coalesces its reducer width at runtime.
+    loop_parts = max(
+        1,
+        min(
+            int(spark.conf.get("spark.sql.shuffle.partitions")),
+            -(-n_vertices // 100_000),
+        ),
+    )
+    edges = edges.repartition(loop_parts, "doc_b").persist()
+    labels = labels.repartition(loop_parts, "doc_id").persist()
+    return _propagate_labels(edges, labels, pairs, loop_parts)
 
 
-def _propagate_labels(edges: DataFrame, labels: DataFrame, pairs: DataFrame) -> DataFrame:
+def _propagate_labels(
+    edges: DataFrame, labels: DataFrame, pairs: DataFrame, loop_parts: int
+) -> DataFrame:
     # convergence check: per-vertex labels only ever DECREASE (min of
     # self and neighbors), so the label sum strictly decreases on any
     # change and is stationary exactly at convergence — one aggregate
@@ -440,6 +450,7 @@ def _propagate_labels(edges: DataFrame, labels: DataFrame, pairs: DataFrame) -> 
                     "cluster_id"
                 ),
             )
+            .repartition(loop_parts, "doc_id")
             .persist()
         )
         new_sum = new_labels.agg(
@@ -476,15 +487,26 @@ GROUP BY doc_id
 """
 
 
-def dedup_keep_canonical(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+def dedup_keep_canonical(
+    spark: SparkSession,
+    sf_dir: str,
+    threshold: float = 0.4,
+    clusters: DataFrame | None = None,
+) -> DataFrame:
     """The consumer-facing dedup result: one canonical document per
     near-dup cluster (the cluster's min ``doc_id``), singletons kept
     as-is, each with its ``cluster_size``. This is the row set a
     training pipeline actually feeds downstream after
     ``near_dup_clusters``; the corpus-sized side joins the (small)
-    cluster map, so the only wide operation is one count aggregation."""
+    cluster map, so the only wide operation is one count aggregation.
+
+    ``clusters`` (columns ``doc_id``, ``cluster_id``) lets a pipeline
+    that already ran ``near_dup_clusters`` reuse the computed labels —
+    then this is one join + one aggregation. Omitted, it computes the
+    clusters itself (the self-contained catalog contract)."""
     docs = t(spark, sf_dir, "documents").select("doc_id")
-    clusters = near_dup_clusters(spark, sf_dir, threshold)
+    if clusters is None:
+        clusters = near_dup_clusters(spark, sf_dir, threshold)
     labeled = docs.join(clusters, "doc_id", "left").select(
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("cluster_id")
     )

@@ -322,6 +322,36 @@ FROM events
 """
 
 
+def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running sum AND lag delta over ONE per-key window — the catalog
+    twin covering both ``window_running_sum`` and ``window_lag_delta``
+    (kept as standalone library functions) in a single driver-checked
+    entry. One sort-based window exchange computes both frames: Spark
+    plans a single Window operator because partition+order match."""
+    e = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("event_id")
+    wr = w.rowsBetween(Window.unboundedPreceding, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(wr).cast("double").alias("running_value"),
+        (
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("micros_since_prev"),
+    )
+
+
+WINDOW_RUNNING_LAG_SQL = """
+SELECT user_id, event_id,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
+       EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+         AS micros_since_prev
+FROM events
+"""
+
+
 # ---------------------------------------------------------------- set ops (U1-U3)
 def union_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Schema-aligned union-all then distinct (reference U1/A6:
@@ -749,4 +779,25 @@ INTERSECT_KEYS_SQL = """
 SELECT c_nationkey AS nationkey FROM customer
 INTERSECT
 SELECT s_nationkey AS nationkey FROM supplier
+"""
+
+
+def set_ops_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXCEPT and INTERSECT in one tagged frame — the catalog twin
+    covering both ``except_all_keys`` and ``intersect_keys`` (kept as
+    standalone library functions) in a single driver-checked entry.
+    Keys are cast to bigint so the two branches union losslessly."""
+    ex = except_all_keys(spark, sf_dir).select(
+        F.lit("except").alias("op"), F.col("custkey").cast("bigint").alias("key")
+    )
+    ix = intersect_keys(spark, sf_dir).select(
+        F.lit("intersect").alias("op"), F.col("nationkey").cast("bigint").alias("key")
+    )
+    return ex.unionByName(ix)
+
+
+SET_OPS_KEYS_SQL = f"""
+SELECT 'except' AS op, CAST(custkey AS BIGINT) AS key FROM ({EXCEPT_ALL_KEYS_SQL})
+UNION ALL
+SELECT 'intersect' AS op, CAST(nationkey AS BIGINT) AS key FROM ({INTERSECT_KEYS_SQL})
 """

@@ -164,19 +164,24 @@ class Snapshot:
     @staticmethod
     def from_json(text: str) -> "Snapshot":
         d = json.loads(text)
+        props = d.get("properties", {})
+        # pre-versioning snapshots (format v1) recorded no bucket_fn,
+        # and every build of THIS engine has only ever written
+        # murmur3_pmod — but that justification only holds for tables
+        # this engine wrote. Gate the default on the engine's own
+        # marker (``key_columns`` has been stamped by create() since
+        # the first release): a marker-less foreign/legacy manifest
+        # gets 'unrecorded', which _check_format refuses to attach,
+        # instead of silently routing merges with the wrong hash.
+        default_fn = BUCKET_FN if props.get("key_columns") else "unrecorded"
         return Snapshot(
             version=d["version"],
             current_schema_version=d["current_schema_version"],
             schemas={int(v): TableSchema.from_json(s) for v, s in d["schemas"].items()},
             num_buckets=d["num_buckets"],
             files={int(b): fs for b, fs in d["files"].items()},
-            properties=d.get("properties", {}),
-            # pre-versioning snapshots (format v1) recorded no bucket_fn,
-            # but every build of this engine has only ever written
-            # murmur3_pmod — treat field-absence as that function so
-            # legacy tables stay attachable (the hard refusal in
-            # _check_format still fires for explicitly DIFFERENT values)
-            bucket_fn=d.get("bucket_fn", BUCKET_FN),
+            properties=props,
+            bucket_fn=d.get("bucket_fn", default_fn),
             format_version=d.get("format_version", 1),
         )
 
@@ -759,6 +764,7 @@ class ManifestTable:
     def commit_appended(
         self, written: dict[int, str | dict], schema_version: int,
         properties_update: dict | None = None,
+        planned: Snapshot | None = None,
     ) -> Snapshot:
         """The COMMIT half of ``append_buckets``: atomically publish
         already-written delta files under the CURRENT snapshot (which may
@@ -768,7 +774,11 @@ class ManifestTable:
 
         ``written`` values are either prepared entries from
         ``write_delta_files`` (stats already collected) or bare dir
-        paths (stats collected here).
+        paths (stats collected here). Bare paths MUST come with
+        ``planned`` — the snapshot the files were written against — so
+        their ``nb`` layout stamp records the write-time bucket count;
+        stamping the commit-time count would let files hashed under a
+        since-replaced layout slip past the fence below.
 
         Appends COMMUTE (they touch no existing entries), so a
         ``CommitConflictError`` from a concurrent commit is resolved by
@@ -777,11 +787,24 @@ class ManifestTable:
         integrity only; the engine's exactly-once bookkeeping
         (``applied_batches``/``fence_offset`` in properties) still
         assumes one logical replay writer per table."""
+        raw = {b: v for b, v in written.items() if isinstance(v, str)}
+        prepared = {b: v for b, v in written.items() if not isinstance(v, str)}
+        if raw and planned is None:
+            raise ValueError(
+                "commit_appended received bare dir paths without the planning "
+                "snapshot: pass planned=<snapshot the files were written "
+                "against> (or use write_delta_files, which returns prepared "
+                "entries) so the layout fence can see the write-time bucket "
+                "count"
+            )
+        if raw:
+            prepared = {
+                **self._entries(raw, schema_version, "delta", planned),
+                **prepared,
+            }
         last: CommitConflictError | None = None
         for _ in range(COMMIT_RETRIES):
             snap = self.current_snapshot()
-            raw = {b: v for b, v in written.items() if isinstance(v, str)}
-            prepared = {b: v for b, v in written.items() if not isinstance(v, str)}
             # layout fence: delta files hashed under a bucket count that
             # a concurrent rebucket has since replaced must NOT rebase —
             # their rows would sit in wrong-bucket entries, invisible to
@@ -797,10 +820,7 @@ class ManifestTable:
                     f"now has {snap.num_buckets} buckets (concurrent rebucket); "
                     "re-plan the batch against the current snapshot"
                 )
-            entries = {
-                **self._entries(raw, schema_version, "delta", snap),
-                **prepared,
-            }
+            entries = dict(prepared)
             files = {b: list(es) for b, es in snap.files.items()}
             for b, e in entries.items():
                 files.setdefault(b, []).append(e)
@@ -987,7 +1007,11 @@ class ManifestTable:
             rows, carrier, "rb",
             files_per_bucket=files_per_bucket, sort_within=sort_columns,
         )
-        entries = self._entries(written, basis.current_schema_version, "base", basis)
+        # entries built against the CARRIER: its num_buckets is the
+        # layout the files were actually hashed under, so each entry's
+        # ``nb`` stamp records the new layout (the basis would stamp the
+        # dead one and poison any future layout-fence consumer)
+        entries = self._entries(written, basis.current_schema_version, "base", carrier)
         cur = self.current_snapshot()
         if cur.version != basis.version:
             raise CommitConflictError(

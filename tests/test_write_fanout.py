@@ -61,7 +61,12 @@ def test_fanout_write_nests_in_buckets(spark, tmp_path):
         )
     assert sum(len(glob.glob(os.path.join(d, "part-*"))) for d in written.values()) > 4
 
-    t2.commit_appended(written, 1)
+    # bare dir paths require the planning snapshot (layout fence)
+    import pytest
+
+    with pytest.raises(ValueError, match="planning"):
+        t2.commit_appended(written, 1)
+    t2.commit_appended(written, 1, planned=snap)
     assert {(r["repo"], r["path"], r["v"]) for r in t2.read().collect()} == base
 
 
