@@ -86,19 +86,32 @@ def bench_cdc_replay(
     # at every parallelism level — a fixed per-process cost any
     # long-running ingest pays once, not per batch; excluding it measures
     # sustained throughput, which is the metric.
-    warm_log = generate_changelog(
-        spark, 50_000, seed=7, n_repos=20, paths_per_repo=50,
-        num_batches=1, parallelism=parallelism,
-    )
-    warm_root = os.path.join(workdir, "warmup_table")
-    warm_engine = ReplayEngine(
-        spark, warm_root, num_buckets=max(16, parallelism), mode=mode, lww_strategy=lww_strategy
-    )
-    warm_engine.replay(warm_log)
-    if mode == "mor":
-        warm_engine.compact(min_files=1)
-    warm_engine.read_state().count()
-    shutil.rmtree(warm_root, ignore_errors=True)
+    #
+    # Size is env-tunable: multi-executor captures split the warm-up
+    # rows across SEPARATE JVMs, so each executor sees only its share of
+    # method invocations — a 4-executor cluster needs ~4x the warm-up
+    # rows of local mode for every JVM to cross the C2 compile
+    # thresholds before the timed window (the per-batch profile of the
+    # round-3 cluster capture showed batches 1-2 at ~19 s vs 3-4 at
+    # ~12 s: JIT still warming two batches into the measurement).
+    warm_events = int(os.environ.get("ETL_SPARK_BENCH_WARM_EVENTS", "50000"))
+    warm_batches = int(os.environ.get("ETL_SPARK_BENCH_WARM_BATCHES", "1"))
+    if warm_events > 0:
+        warm_log = generate_changelog(
+            spark, warm_events, seed=7, n_repos=20, paths_per_repo=50,
+            num_batches=warm_batches, parallelism=parallelism,
+            content_scale=content_scale,
+        )
+        warm_root = os.path.join(workdir, "warmup_table")
+        warm_engine = ReplayEngine(
+            spark, warm_root, num_buckets=max(16, parallelism), mode=mode,
+            lww_strategy=lww_strategy,
+        )
+        warm_engine.replay(warm_log)
+        if mode == "mor":
+            warm_engine.compact(min_files=1)
+        warm_engine.read_state().count()
+        shutil.rmtree(warm_root, ignore_errors=True)
 
     table_root = os.path.join(workdir, f"repo_files_{mode}")
     # timed section covers replay AND final compaction: the quoted

@@ -376,13 +376,73 @@ def merge_batch(
         return new_snap, counters
 
     # ---------------- cow: stats gate the touched-bucket read ----------------
+    t_plan = time.monotonic()
+    batch_events, maxes, per_bucket, stats = cow_batch_stats(
+        batch_events, keys, snap.num_buckets, delete_guard=delete_guard
+    )
+    t_stats = time.monotonic()
+    touched, survivors = cow_batch_survivors(
+        table, snap, batch_events, maxes, stats, batch_id,
+        lww_strategy=lww_strategy,
+        broadcast_key_budget=broadcast_key_budget,
+        tombstone_commit_watermark=tombstone_commit_watermark,
+    )
+    new_snap = table.rewrite_buckets(touched, survivors, properties_update, basis=snap)
+    t_written = time.monotonic()
+    counters = {
+        "rows_in": stats["events"], "distinct_keys": stats["keys"],
+        "upserts": stats["ups"], "deletes": stats["dels"],
+        "lww_path": stats["lww_path"],
+        "timings_ms": {
+            "plan": int((t_plan - t_start) * 1000),
+            "stats": int((t_stats - t_plan) * 1000),
+            "write": int((t_written - t_stats) * 1000),
+            "stats_wait": 0,
+        },
+        "per_bucket": _bucket_counters(per_bucket),
+    }
+    maxes.unpersist()
+    return new_snap, counters
+
+
+def cow_batch_stats(
+    batch_events: DataFrame,
+    keys: list[str],
+    num_buckets: int,
+    delete_guard: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame, list, dict]:
+    """Stage 1 of the cow plan: guard demotion, thin per-key maxes
+    (~60 B/distinct key), and the per-bucket rollup that names the
+    TOUCHED BUCKETS. Split out so the pipelined replay loop can learn a
+    batch's bucket set — and decide whether it may overlap the batches
+    already in flight — before any table state is read.
+
+    Returns (guarded_events, maxes[cached], per_bucket_rows, stats)."""
     if delete_guard is not None:
         batch_events = _demote_guarded(batch_events, keys, delete_guard)
-    t_plan = time.monotonic()
-    maxes = _thin_maxes(batch_events, keys).cache()  # thin: ~60 B/distinct key
-    per_bucket = _bucket_rollup(maxes, keys, snap.num_buckets).collect()
-    stats = _stats_from_rows(per_bucket)
-    t_stats = time.monotonic()
+    maxes = _thin_maxes(batch_events, keys).cache()
+    per_bucket = _bucket_rollup(maxes, keys, num_buckets).collect()
+    return batch_events, maxes, per_bucket, _stats_from_rows(per_bucket)
+
+
+def cow_batch_survivors(
+    table: ManifestTable,
+    snap: Snapshot,
+    batch_events: DataFrame,
+    maxes: DataFrame,
+    stats: dict,
+    batch_id: int,
+    *,
+    lww_strategy: str = "broadcast",
+    broadcast_key_budget: int = BROADCAST_KEY_BUDGET,
+    tombstone_commit_watermark: str | None = None,
+) -> tuple[list[int], DataFrame]:
+    """Stage 2 of the cow plan: LWW winners, union with the touched
+    buckets read from ``snap``, global resolve, tombstone aging.
+    Returns (touched_buckets, survivors) — the frame
+    ``rewrite_buckets`` (or ``write_rewrite_files``) consumes.
+    Mutates ``stats['lww_path']``."""
+    keys = table.key_columns
     if lww_strategy == "broadcast" and stats["keys"] <= broadcast_key_budget:
         stats["lww_path"] = "broadcast"
         winner_offsets = maxes.select(F.col("__ord.offset").alias("__w_offset"))
@@ -437,19 +497,4 @@ def merge_batch(
         survivors = survivors.filter(
             (~F.col("_deleted")) | (F.col("commit") >= tombstone_commit_watermark)
         )
-    new_snap = table.rewrite_buckets(touched, survivors, properties_update, basis=snap)
-    t_written = time.monotonic()
-    counters = {
-        "rows_in": stats["events"], "distinct_keys": stats["keys"],
-        "upserts": stats["ups"], "deletes": stats["dels"],
-        "lww_path": stats["lww_path"],
-        "timings_ms": {
-            "plan": int((t_plan - t_start) * 1000),
-            "stats": int((t_stats - t_plan) * 1000),
-            "write": int((t_written - t_stats) * 1000),
-            "stats_wait": 0,
-        },
-        "per_bucket": _bucket_counters(per_bucket),
-    }
-    maxes.unpersist()
-    return new_snap, counters
+    return touched, survivors

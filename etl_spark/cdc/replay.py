@@ -535,8 +535,12 @@ class ReplayEngine:
         serial term in N->4N scaling efficiency. Schema-evolution
         streams pipeline BETWEEN evolution points: only the batch
         carrying each DDL event runs sequentially. 1 disables
-        pipelining; cow mode forces the sequential path (its bucket
-        reads order against the table state)."""
+        pipelining. Copy-on-write pipelines too, gated on BUCKET
+        DISJOINTNESS: batch N+1's rewrite may overlap batch N's iff
+        their touched-bucket sets don't intersect (disjoint buckets =
+        disjoint keys, so N+1's resolve-read of its own buckets cannot
+        depend on N's in-flight write); intersecting batches drain the
+        pipeline first, and commits stay strictly ordered either way."""
         if classify is not None:
             from etl_spark.cdc.classify import classify_events
 
@@ -552,6 +556,10 @@ class ReplayEngine:
         }
         if batches is None:
             batches = sorted(bounds)
+        if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
+            return self._replay_cow_pipelined(
+                changelog, bounds, sorted(batches), delete_guard, pipeline_depth
+            )
         if self.mode == "mor" and pipeline_depth > 1:
             if schema_ops is None:
                 return self._replay_mor_pipelined(
@@ -618,6 +626,147 @@ class ReplayEngine:
                     changelog, b, schema_ops, bounds=bounds.get(b), delete_guard=delete_guard
                 )
             )
+        return results
+
+    def _replay_cow_pipelined(
+        self,
+        changelog: DataFrame,
+        bounds: dict,
+        batches: list[int],
+        delete_guard: DataFrame | None,
+        depth: int,
+    ) -> list[dict]:
+        """Pipelined copy-on-write replay: up to ``depth`` bucket
+        rewrites in flight, commits strictly ordered, overlap gated on
+        BUCKET DISJOINTNESS.
+
+        Why disjointness suffices: a cow batch reads only the buckets it
+        touches (to resolve LWW against stored rows) and rewrites only
+        those buckets. Buckets partition the key space, so two batches
+        with disjoint bucket sets share NO keys — batch N+1's
+        resolve-read of its buckets sees the same rows whether or not
+        batch N's (in-flight, disjoint) rewrite has landed. Each batch's
+        touched set falls out of the thin per-key stats job it runs
+        anyway (``cow_batch_stats``); a batch intersecting any in-flight
+        set drains the pipeline first (FIFO, so commit order is also
+        plan order). ``commit_rewritten`` additionally re-verifies at
+        commit time that no concurrent commit touched the batch's
+        buckets since its basis snapshot — the same Iceberg overwrite
+        serialization rule the sequential path relies on — so the
+        disjointness reasoning is enforced, not assumed. Exactly-once
+        bookkeeping rides in each ordered commit, as in the mor
+        pipeline."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        from etl_spark.cdc.merge import (
+            _bucket_counters,
+            cow_batch_stats,
+            cow_batch_survivors,
+        )
+
+        snap0 = self.table.current_snapshot()
+        applied = list(snap0.properties.get("applied_batches", []))
+        ops_list = list(snap0.properties.get("applied_schema_ops", []))
+        fence = int(snap0.properties.get("fence_offset", -1))
+        sv = snap0.current_schema_version
+        results: list[dict] = []
+        pending: list[dict] = []
+        inflight: set[int] = set()
+        pool = ThreadPoolExecutor(max_workers=depth)
+
+        def drain_one() -> None:
+            p = pending.pop(0)
+            entries, write_ms = p["write_fut"].result()
+            t_c = time.monotonic()
+            self.table.commit_rewritten(p["touched"], entries, p["basis"], p["props"])
+            commit_ms = int((time.monotonic() - t_c) * 1000)
+            p["maxes"].unpersist()
+            inflight.difference_update(p["touched"])
+            stats = p["stats"]
+            duration_ms = int((time.monotonic() - p["t0"]) * 1000)
+            self._append_bucket_metrics(p["batch_id"], _bucket_counters(p["per_bucket"]))
+            self._append_metrics_row(
+                p["batch_id"], stats["events"], stats["ups"], stats["dels"],
+                stats["keys"], 0, duration_ms,
+            )
+            results.append({
+                "batch_id": p["batch_id"], "skipped": False, "schema_ops": 0,
+                "duration_ms": duration_ms, "rows_in": stats["events"],
+                "distinct_keys": stats["keys"], "upserts": stats["ups"],
+                "deletes": stats["dels"], "lww_path": stats["lww_path"],
+                "pipelined": True,
+                "timings_ms": {
+                    "plan": p["plan_ms"], "write": write_ms, "commit": commit_ms,
+                },
+                "per_bucket": _bucket_counters(p["per_bucket"]),
+            })
+
+        try:
+            for b in batches:
+                if b in applied:
+                    results.append({"batch_id": b, "skipped": True})
+                    continue
+                t0 = time.monotonic()
+                lo, hi = bounds.get(b, (None, None))
+                if lo is None:
+                    while pending:
+                        drain_one()
+                    applied = applied + [b]
+                    self.table.commit_appended({}, sv, {
+                        "applied_batches": applied,
+                        "applied_schema_ops": ops_list,
+                        "fence_offset": fence,
+                    })
+                    results.append({"batch_id": b, "skipped": False, "schema_ops": 0,
+                                    "duration_ms": int((time.monotonic() - t0) * 1000),
+                                    "rows_in": 0, "distinct_keys": 0, "upserts": 0,
+                                    "deletes": 0, "lww_path": "empty",
+                                    "pipelined": True, "per_bucket": []})
+                    continue
+                batch = changelog.filter(F.col("batch_id") == b).filter(F.col("offset") > fence)
+                batch, maxes, per_bucket, stats = cow_batch_stats(
+                    batch, self.table.key_columns, snap0.num_buckets,
+                    delete_guard=delete_guard,
+                )
+                touched = sorted(stats["buckets"])
+                # bucket-conflict gate: FIFO-drain until this batch's
+                # buckets are untouched by anything still in flight
+                while pending and inflight.intersection(touched):
+                    drain_one()
+                # basis AFTER the drain: every committed predecessor is
+                # visible; still-in-flight batches are bucket-disjoint
+                basis = self.table.current_snapshot()
+                _, survivors = cow_batch_survivors(
+                    self.table, basis, batch, maxes, stats, b,
+                    lww_strategy=self.lww_strategy,
+                    broadcast_key_budget=self.broadcast_key_budget,
+                    tombstone_commit_watermark=self.tombstone_commit_watermark,
+                )
+                applied = applied + [b]
+                fence = max(fence, int(hi))
+                inflight.update(touched)
+
+                def _timed_write(s=survivors, ba=basis):
+                    tw = time.monotonic()
+                    out = self.table.write_rewrite_files(s, ba)
+                    return out, int((time.monotonic() - tw) * 1000)
+
+                pending.append({
+                    "batch_id": b, "t0": t0, "touched": touched, "basis": basis,
+                    "stats": stats, "per_bucket": per_bucket, "maxes": maxes,
+                    "plan_ms": int((time.monotonic() - t0) * 1000),
+                    "write_fut": pool.submit(_timed_write),
+                    "props": {"applied_batches": applied,
+                              "applied_schema_ops": ops_list,
+                              "fence_offset": fence},
+                })
+                while len(pending) >= depth:
+                    drain_one()
+            while pending:
+                drain_one()
+        finally:
+            pool.shutdown(wait=True, cancel_futures=True)
+        results.sort(key=lambda r: r["batch_id"])
         return results
 
     def _replay_mor_pipelined(

@@ -365,18 +365,9 @@ GROUP BY doc_id
 """
 
 
-# bounded min-label propagation for near-dup components: iterations
-# needed = component diameter, and verified near-dup components are
-# dense (every member pairs with most others), so diameters are tiny.
-# The guard raises on non-convergence rather than returning a partial
-# clustering. At extreme corpus scale, swap the propagation loop for
-# alternating large-star/small-star (Kiveris et al., "Connected
-# Components in MapReduce"), which converges in O(log n) rounds with the
-# same per-round join shape.
-MAX_CC_ITERATIONS = 20
-
-
-def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+def near_dup_clusters(
+    spark: SparkSession, sf_dir: str, threshold: float = 0.4, algorithm: str = "auto"
+) -> DataFrame:
     """Connected components over the verified MinHash-LSH near-dup graph
     (``minhash_lsh_pairs``): every document appearing in at least one
     pair gets ``cluster_id`` = the smallest ``doc_id`` in its component.
@@ -384,88 +375,21 @@ def near_dup_clusters(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     A training-data pipeline consumes PAIRS poorly — dedup keeps ONE
     canonical doc per duplicate CLUSTER, so pairs must be folded into
     components first (reference analog: none; this is pipeline
-    infrastructure the pair ops imply). Min-label propagation: each
-    round every vertex takes the min label among itself and its
-    neighbors — one shuffle join + one map-side-combined min agg per
-    round, no driver-side graph state beyond the converged flag."""
-    # persist the verified pairs BEFORE the symmetrizing union: both
-    # union branches reference them, and unpersisted they would run the
-    # whole minhash+verify computation twice
-    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b").persist()
-    edges = pairs.unionByName(
-        pairs.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
-    )
-    n_vertices = labels.count()
-    # the loop's frames are pair-graph-sized (docs IN near-dup pairs),
-    # far smaller than the corpus — size its shuffles to the measured
-    # vertex count, or every round pays full-width task overhead on a
-    # few hundred rows. Sized with EXPLICIT repartition on the loop
-    # frames, never by mutating spark.sql.shuffle.partitions: session
-    # conf is shared state and the engine overlaps jobs on threads
-    # (stats thread, pipelined writes), so a temporary global would
-    # race any concurrent plan. Pinning edges on the join key and each
-    # round's labels on doc_id keeps the join co-partitioned at
-    # loop_parts; the min-agg keeps its map-side combine and AQE
-    # coalesces its reducer width at runtime.
-    loop_parts = max(
-        1,
-        min(
-            int(spark.conf.get("spark.sql.shuffle.partitions")),
-            -(-n_vertices // 100_000),
-        ),
-    )
-    edges = edges.repartition(loop_parts, "doc_b").persist()
-    labels = labels.repartition(loop_parts, "doc_id").persist()
-    return _propagate_labels(edges, labels, pairs, loop_parts)
+    infrastructure the pair ops imply). Component labelling lives in
+    :mod:`etl_spark.operators.graph`: min-label propagation by default
+    (rounds = component diameter, tiny for verified near-dup
+    components), falling back to alternating star contraction — the
+    O(log^2 n)-round, diameter-independent extreme-scale path — on
+    non-convergence, or directly via ``algorithm="star"``."""
+    from etl_spark.operators.graph import connected_components
 
-
-def _propagate_labels(
-    edges: DataFrame, labels: DataFrame, pairs: DataFrame, loop_parts: int
-) -> DataFrame:
-    # convergence check: per-vertex labels only ever DECREASE (min of
-    # self and neighbors), so the label sum strictly decreases on any
-    # change and is stationary exactly at convergence — one aggregate
-    # per round instead of a self-join diff (decimal sum: overflow-proof
-    # for any bigint ids)
-    label_sum = labels.agg(
-        F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-    ).first()["s"]
-    for _ in range(MAX_CC_ITERATIONS):
-        neigh = (
-            edges.join(labels, edges["doc_b"] == labels["doc_id"])
-            .groupBy("doc_a")
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, labels["doc_id"] == neigh["doc_a"], "left")
-            .select(
-                labels["doc_id"],
-                F.least(F.col("cluster_id"), F.coalesce(F.col("nmin"), F.col("cluster_id"))).alias(
-                    "cluster_id"
-                ),
-            )
-            .repartition(loop_parts, "doc_id")
-            .persist()
-        )
-        new_sum = new_labels.agg(
-            F.sum(F.col("cluster_id").cast("decimal(38,0)")).alias("s")
-        ).first()["s"]
-        labels.unpersist()
-        labels = new_labels
-        if new_sum == label_sum:
-            edges.unpersist()
-            pairs.unpersist()
-            return labels.select("doc_id", "cluster_id")
-        label_sum = new_sum
-    raise RuntimeError(
-        f"near_dup_clusters did not converge in {MAX_CC_ITERATIONS} rounds "
-        "— component diameter exceeds the bound; use star-contraction"
+    # connected_components persists the pair frame for the duration of
+    # its loop — without that, every round would rerun the whole
+    # minhash+verify computation
+    pairs = minhash_lsh_pairs(spark, sf_dir, threshold).select("doc_a", "doc_b")
+    labels = connected_components(pairs, "doc_a", "doc_b", algorithm=algorithm)
+    return labels.select(
+        F.col("vertex").alias("doc_id"), F.col("component").alias("cluster_id")
     )
 
 

@@ -36,14 +36,17 @@ pointer swap + snapshot properties + schema evolution by column id):
   (reference analog: skip-if-already-applied checks,
   ``src/byggesager/byggesager.py:191-197``).
 
-Metadata scale note: each snapshot JSON lists every bucket's file
-entries, so a commit writes O(buckets) metadata (a mor append only ADDS
-O(touched) entries, but the file is rewritten whole). Real Iceberg
-amortizes this with a manifest LIST over immutable per-manifest files so
-a commit rewrites only the changed manifests; at this engine's intended
-bucket counts (10^4-10^5) the whole-file JSON stays in the low MBs and
-``expire_snapshots`` bounds history, which is why the simpler form is
-acceptable here — swap in the Iceberg catalog for the real thing.
+Metadata scale (format v3, the Iceberg manifest-list analog): the
+per-bucket entry lists live in immutable CONTENT-ADDRESSED shard files
+(``_snapshots/manifests/m-<sha>.json``); the snapshot JSON holds one
+shard reference per non-empty bucket. A commit therefore writes the
+small snapshot document plus new shards for the TOUCHED buckets only —
+untouched buckets' shards (with their per-column stats, the dominant
+bytes) are shared by reference across snapshots, exactly how Iceberg
+shares unchanged manifests through the manifest list. A delta commit's
+metadata write cost is O(touched buckets), not O(table);
+``expire_snapshots`` garbage-collects shards referenced by no surviving
+snapshot. Format v2 snapshots (entries embedded) remain readable.
 
 Reference analogs: keyed mutable store / check-then-insert upsert
 (``src/capa/capa_data.py:9-24,54-72``), partition-overwrite upsert
@@ -53,6 +56,7 @@ Reference analogs: keyed mutable store / check-then-insert upsert
 
 from __future__ import annotations
 
+import hashlib
 import json
 import os
 import uuid
@@ -76,7 +80,11 @@ RECORD_STATS = os.environ.get("ETL_SPARK_RECORD_STATS", "1") != "0"
 # duplicate rows for a key in two buckets, no error) — so mismatches on
 # attach raise instead.
 BUCKET_FN = "murmur3_pmod"
-FORMAT_VERSION = 2
+# v3 = per-bucket entry lists in content-addressed manifest shards
+# referenced from the snapshot (Iceberg manifest-list analog); v2 =
+# entries embedded in the snapshot JSON (still readable); v1 = v2
+# without bucket_fn/format_version fields.
+FORMAT_VERSION = 3
 
 # Bounded rebase attempts for commits that can safely retry after a
 # concurrent commit claimed their snapshot version (appends always can;
@@ -146,24 +154,46 @@ class Snapshot:
     bucket_fn: str = BUCKET_FN
     format_version: int = FORMAT_VERSION
 
-    def to_json(self) -> str:
-        return json.dumps(
-            {
-                "version": self.version,
-                "current_schema_version": self.current_schema_version,
-                "schemas": {str(v): s.to_json() for v, s in self.schemas.items()},
-                "num_buckets": self.num_buckets,
-                "files": {str(b): fs for b, fs in self.files.items()},
-                "properties": self.properties,
-                "bucket_fn": self.bucket_fn,
-                "format_version": self.format_version,
-            },
-            indent=1,
-        )
+    def to_json(self, manifest_dir: str | None = None) -> str:
+        """Serialize. With ``manifest_dir`` (format v3), each bucket's
+        entry list is written to an immutable content-addressed shard
+        file there (skipped when the identical shard already exists —
+        untouched buckets cost ZERO metadata bytes per commit) and the
+        snapshot document carries only the shard references. Without it,
+        entries are embedded (v2 form, kept for tooling/tests)."""
+        d = {
+            "version": self.version,
+            "current_schema_version": self.current_schema_version,
+            "schemas": {str(v): s.to_json() for v, s in self.schemas.items()},
+            "num_buckets": self.num_buckets,
+            "properties": self.properties,
+            "bucket_fn": self.bucket_fn,
+            "format_version": self.format_version,
+        }
+        if manifest_dir is None:
+            d["files"] = {str(b): fs for b, fs in self.files.items()}
+        else:
+            d["files_ref"] = {
+                str(b): _write_manifest_shard(manifest_dir, fs)
+                for b, fs in self.files.items()
+            }
+        return json.dumps(d, indent=1)
 
     @staticmethod
-    def from_json(text: str) -> "Snapshot":
+    def from_json(text: str, manifest_dir: str | None = None) -> "Snapshot":
         d = json.loads(text)
+        if "files_ref" in d:
+            if manifest_dir is None:
+                raise ValueError(
+                    "format v3 snapshot references manifest shards; pass the "
+                    "table's manifest directory to from_json"
+                )
+            files = {
+                int(b): _read_manifest_shard(manifest_dir, key)
+                for b, key in d["files_ref"].items()
+            }
+        else:
+            files = {int(b): fs for b, fs in d["files"].items()}
         props = d.get("properties", {})
         # pre-versioning snapshots (format v1) recorded no bucket_fn,
         # and every build of THIS engine has only ever written
@@ -179,7 +209,7 @@ class Snapshot:
             current_schema_version=d["current_schema_version"],
             schemas={int(v): TableSchema.from_json(s) for v, s in d["schemas"].items()},
             num_buckets=d["num_buckets"],
-            files={int(b): fs for b, fs in d["files"].items()},
+            files=files,
             properties=props,
             bucket_fn=d.get("bucket_fn", default_fn),
             format_version=d.get("format_version", 1),
@@ -188,6 +218,32 @@ class Snapshot:
     @property
     def schema(self) -> TableSchema:
         return self.schemas[self.current_schema_version]
+
+
+def _shard_key(entries: list[dict]) -> str:
+    """Content address of one bucket's entry list: identical lists —
+    the untouched-bucket case — share one shard file across snapshots."""
+    canon = json.dumps(entries, sort_keys=True, separators=(",", ":"))
+    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:20]
+
+
+def _write_manifest_shard(manifest_dir: str, entries: list[dict]) -> str:
+    key = _shard_key(entries)
+    path = os.path.join(manifest_dir, f"m-{key}.json")
+    if not os.path.exists(path):
+        os.makedirs(manifest_dir, exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(entries, f)
+        # content-addressed: a concurrent writer of the same key wrote
+        # identical bytes, so last-replace-wins is safe
+        os.replace(tmp, path)
+    return key
+
+
+def _read_manifest_shard(manifest_dir: str, key: str) -> list[dict]:
+    with open(os.path.join(manifest_dir, f"m-{key}.json")) as f:
+        return json.load(f)
 
 
 def bucket_expr(key_columns: list[str], num_buckets: int):
@@ -233,6 +289,7 @@ class ManifestTable:
         self.root = root
         self.key_columns = list(key_columns)
         self._snap_dir = os.path.join(root, "_snapshots")
+        self._manifest_dir = os.path.join(self._snap_dir, "manifests")
         self._data_dir = os.path.join(root, "data")
 
     # ---------- lifecycle ----------
@@ -279,7 +336,9 @@ class ManifestTable:
         )
         latest = max(versions, default=int(name[len("snapshot-"):-len(".json")]))
         with open(os.path.join(snap_dir, f"snapshot-{latest:08d}.json")) as f:
-            return Snapshot.from_json(f.read()).properties
+            # raw parse: properties live in the snapshot document itself,
+            # so peeking never loads manifest shards (O(1) at any table size)
+            return json.loads(f.read()).get("properties", {})
 
     @staticmethod
     def exists(root: str) -> bool:
@@ -318,7 +377,7 @@ class ManifestTable:
         if latest > ptr_version:
             name = f"snapshot-{latest:08d}.json"
         with open(os.path.join(self._snap_dir, name)) as f:
-            snap = self._check_format(Snapshot.from_json(f.read()))
+            snap = self._check_format(Snapshot.from_json(f.read(), self._manifest_dir))
         recorded = snap.properties.get("key_columns")
         if recorded and list(recorded) != self.key_columns:
             raise ValueError(
@@ -343,7 +402,7 @@ class ManifestTable:
         path = os.path.join(self._snap_dir, name)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
         with open(tmp, "w") as f:
-            f.write(snap.to_json())
+            f.write(snap.to_json(self._manifest_dir))
         try:
             os.link(tmp, path)
         except FileExistsError:
@@ -675,13 +734,46 @@ class ManifestTable:
         land after this call starts."""
         snap = self.current_snapshot()
         basis = basis or snap
-        sv = basis.current_schema_version
+        new_entries = self.write_rewrite_files(
+            df, basis, files_per_bucket=files_per_bucket, sort_columns=sort_columns
+        )
+        return self.commit_rewritten(
+            buckets, new_entries, basis, properties_update, _base0=snap
+        )
+
+    def write_rewrite_files(
+        self,
+        df: DataFrame,
+        basis: Snapshot,
+        files_per_bucket: int = 1,
+        sort_columns: list[str] | None = None,
+    ) -> dict[int, dict]:
+        """The WRITE half of ``rewrite_buckets``: land ``df``'s rows as
+        new base files under ``basis``'s layout/schema and return the
+        prepared entries, committing nothing. Lets the pipelined cow
+        replay overlap batch N+1's (heavy) write with batch N's while
+        ``commit_rewritten`` keeps commits strictly ordered."""
         written = self._write_bucketed(
             df.select(*basis.schema.names()), basis, "mg",
             files_per_bucket=files_per_bucket, sort_within=sort_columns,
         )
-        new_entries = self._entries(written, sv, "base", basis)
-        base = snap
+        return self._entries(written, basis.current_schema_version, "base", basis)
+
+    def commit_rewritten(
+        self,
+        buckets: list[int],
+        new_entries: dict[int, dict],
+        basis: Snapshot,
+        properties_update: dict | None = None,
+        _base0: Snapshot | None = None,
+    ) -> Snapshot:
+        """The COMMIT half of ``rewrite_buckets``: atomically replace
+        ``buckets`` with the prepared ``new_entries``. Same serialization
+        rule as ``rewrite_buckets`` (entries of the rewritten buckets and
+        the schema are compared against ``basis`` before every attempt;
+        conflicts on OTHER buckets rebase and retry)."""
+        sv = basis.current_schema_version
+        base = _base0 or self.current_snapshot()
         for attempt in range(COMMIT_RETRIES):
             if attempt:
                 base = self.current_snapshot()
@@ -1079,7 +1171,7 @@ class ManifestTable:
         """Load a historical snapshot by version (time travel)."""
         path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")
         with open(path) as f:
-            return self._check_format(Snapshot.from_json(f.read()))
+            return self._check_format(Snapshot.from_json(f.read(), self._manifest_dir))
 
     def rollback(self, version: int) -> Snapshot:
         """Restore the table to a historical snapshot — metadata-only
@@ -1171,7 +1263,41 @@ class ManifestTable:
                 os.remove(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json"))
             except FileNotFoundError:
                 pass
-        return {"expired": expired, "deleted_dirs": deleted}
+
+        # manifest-shard GC (format v3): a shard is live iff referenced
+        # by a SURVIVING snapshot's files_ref. A freshly-written shard
+        # whose snapshot claim hasn't landed yet would look dead, so
+        # shards younger than the grace window are always kept (the
+        # same single-logical-writer assumption that guards the data
+        # vacuum above applies; the grace window is belt-and-braces).
+        deleted_shards = 0
+        if os.path.isdir(self._manifest_dir):
+            live_shards: set[str] = set()
+            for v in sorted(keep):
+                with open(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json")) as f:
+                    live_shards.update(json.loads(f.read()).get("files_ref", {}).values())
+            import time as _time
+
+            now = _time.time()
+            for n in os.listdir(self._manifest_dir):
+                if not (n.startswith("m-") and n.endswith(".json")):
+                    continue
+                key = n[len("m-"):-len(".json")]
+                full = os.path.join(self._manifest_dir, n)
+                if key in live_shards:
+                    continue
+                try:
+                    if now - os.path.getmtime(full) < 300:
+                        continue
+                    os.remove(full)
+                    deleted_shards += 1
+                except FileNotFoundError:
+                    pass
+        return {
+            "expired": expired,
+            "deleted_dirs": deleted,
+            "deleted_shards": deleted_shards,
+        }
 
     # ---------- schema evolution (metadata-only, files untouched) ----------
 

@@ -1,0 +1,149 @@
+"""Format v3 manifest shards: a delta commit's written metadata bytes
+are O(touched buckets), not O(table); untouched buckets' shards are
+shared by reference across snapshots; v2 (embedded-entries) snapshots
+stay readable; expiry garbage-collects unreferenced shards."""
+
+import json
+import os
+
+from etl_spark.table.manifest import (
+    ColumnDef,
+    ManifestTable,
+    Snapshot,
+    TableSchema,
+)
+
+
+def _meta_files(root):
+    """(path, bytes) of every snapshot/shard file under _snapshots."""
+    out = {}
+    snap_dir = os.path.join(root, "_snapshots")
+    for dirpath, _, names in os.walk(snap_dir):
+        for n in names:
+            if n.endswith(".json"):
+                p = os.path.join(dirpath, n)
+                out[p] = os.path.getsize(p)
+    return out
+
+
+def _mk(spark, root, num_buckets=32):
+    t = ManifestTable.create(
+        spark, root,
+        TableSchema([ColumnDef(1, "k", "string"), ColumnDef(2, "v", "long")]),
+        key_columns=["k"], num_buckets=num_buckets,
+    )
+    rows = [(f"k{i}", i) for i in range(3000)]
+    t.overwrite(spark.createDataFrame(rows, "k string, v long"))
+    return t
+
+
+def test_delta_commit_metadata_is_o_touched(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)
+    base_meta = _meta_files(root)
+    full_bytes = sum(base_meta.values())
+    n_buckets_with_data = len(t.current_snapshot().files)
+    assert n_buckets_with_data == 32  # 3000 keys cover all buckets
+
+    # a delta touching ONE key = one bucket
+    snap = t.current_snapshot()
+    written = t.write_delta_files(
+        spark.createDataFrame([("k1", 999)], "k string, v long"), snap
+    )
+    t.commit_appended(written, snap.current_schema_version)
+    new_meta = {p: b for p, b in _meta_files(root).items() if p not in base_meta}
+
+    # exactly one new shard (the touched bucket) + one new snapshot doc
+    new_shards = [p for p in new_meta if "/manifests/" in p]
+    assert len(new_shards) == 1
+    assert len(written) == 1
+    # the new snapshot document embeds no entries — it is reference-sized
+    snap_docs = [p for p in new_meta if "/manifests/" not in p]
+    assert len(snap_docs) == 1
+    doc = json.loads(open(snap_docs[0]).read())
+    assert "files" not in doc and "files_ref" in doc
+    # written metadata bytes are a small fraction of the table's full
+    # metadata (31 untouched buckets' stats were NOT rewritten)
+    assert sum(new_meta.values()) < full_bytes / 4
+
+    # the untouched buckets' shard references are literally shared
+    prev_doc = json.loads(
+        open(os.path.join(root, "_snapshots", "snapshot-00000001.json")).read()
+    )
+    touched = set(written)
+    shared = {
+        b: k for b, k in doc["files_ref"].items() if int(b) not in touched
+    }
+    assert shared == {
+        b: k for b, k in prev_doc["files_ref"].items() if int(b) not in touched
+    }
+    assert len(shared) == 31
+
+    # reads and time travel still see the right data (ManifestTable.read
+    # is the RAW view: base + unresolved delta rows; LWW resolution is
+    # the replay engine's job)
+    got = {(r["k"], r["v"]) for r in t.read().where("k = 'k1'").collect()}
+    assert got == {("k1", 1), ("k1", 999)}
+    old = t.snapshot_at(1)
+    got_old = {
+        (r["k"], r["v"]) for r in t.read(snapshot=old).where("k = 'k1'").collect()
+    }
+    assert got_old == {("k1", 1)}
+
+
+def test_v2_embedded_snapshot_still_readable(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    # rewrite the current snapshot in v2 embedded form
+    snap = t.current_snapshot()
+    v2_text = snap.to_json()  # no manifest_dir -> embedded entries
+    assert "files_ref" not in json.loads(v2_text)
+    name = f"snapshot-{snap.version:08d}.json"
+    with open(os.path.join(root, "_snapshots", name), "w") as f:
+        f.write(v2_text)
+    t2 = ManifestTable(spark, root, ["k"])
+    assert t2.read().count() == 3000
+    # and the next commit over it writes v3 again
+    t2.overwrite(spark.createDataFrame([("x", 1)], "k string, v long"))
+    cur = json.loads(
+        open(os.path.join(root, "_snapshots",
+                          f"snapshot-{t2.current_snapshot().version:08d}.json")).read()
+    )
+    assert "files_ref" in cur
+
+
+def test_v3_from_json_requires_manifest_dir(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    name = f"snapshot-{t.current_snapshot().version:08d}.json"
+    text = open(os.path.join(root, "_snapshots", name)).read()
+    import pytest
+
+    with pytest.raises(ValueError, match="manifest"):
+        Snapshot.from_json(text)
+
+
+def test_expiry_gcs_unreferenced_shards(spark, tmp_path):
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    for i in range(4):
+        t.overwrite(
+            spark.createDataFrame([(f"g{i}", i)], "k string, v long")
+        )
+    man_dir = os.path.join(root, "_snapshots", "manifests")
+    before = set(os.listdir(man_dir))
+    # age every shard past the in-flight-commit grace window
+    for n in before:
+        p = os.path.join(man_dir, n)
+        os.utime(p, (os.path.getmtime(p) - 3600, os.path.getmtime(p) - 3600))
+    out = t.expire_snapshots(keep_last=1)
+    assert out["deleted_shards"] > 0
+    after = set(os.listdir(man_dir))
+    # surviving snapshots' shards all still resolve; reads work
+    for v in [t.current_snapshot().version]:
+        doc = json.loads(
+            open(os.path.join(root, "_snapshots", f"snapshot-{v:08d}.json")).read()
+        )
+        for key in doc["files_ref"].values():
+            assert f"m-{key}.json" in after
+    assert t.read().count() == 1

@@ -115,18 +115,16 @@ def test_expire_snapshots_refuses_on_total_mismatch(spark, tmp_path):
         key_columns=["k"], num_buckets=2,
     )
     t.overwrite(spark.createDataFrame([("a", 1)], "k string, v long"))
-    # corrupt the manifest paths to point at a foreign location
-    snap_dir = os.path.join(root, "_snapshots")
-    for n in os.listdir(snap_dir):
-        if not n.startswith("snapshot-"):
-            continue
-        p = os.path.join(snap_dir, n)
-        d = _json.loads(open(p).read())
-        for es in d["files"].values():
-            for e in es:
-                e["path"] = "/nonexistent/elsewhere/" + os.path.basename(e["path"])
+    # corrupt the manifest paths to point at a foreign location (format
+    # v3 keeps entry lists in content-addressed shards under manifests/)
+    man_dir = os.path.join(root, "_snapshots", "manifests")
+    for n in os.listdir(man_dir):
+        p = os.path.join(man_dir, n)
+        es = _json.loads(open(p).read())
+        for e in es:
+            e["path"] = "/nonexistent/elsewhere/" + os.path.basename(e["path"])
         with open(p, "w") as f:
-            f.write(_json.dumps(d))
+            f.write(_json.dumps(es))
     with pytest.raises(RuntimeError, match="refusing to vacuum"):
         t.expire_snapshots(keep_last=1)
     # data dirs untouched
