@@ -58,7 +58,8 @@ def _force(df) -> int:
 
 def bench_cdc_replay(
     spark, n_events: int, num_batches: int, workdir: str, mode: str, content_scale: int = 1,
-    lww_strategy: str | None = None,
+    lww_strategy: str | None = None, rebatch_by_bucket: bool = False,
+    pipeline_depth: int = 2,
 ) -> dict:
     lww_strategy = lww_strategy or os.environ.get("ETL_SPARK_BENCH_LWW", "broadcast")
     from etl_spark.cdc.changelog import generate_changelog
@@ -78,6 +79,18 @@ def bench_cdc_replay(
         content_scale=content_scale,
     ).write.mode("overwrite").parquet(log_path)
     changelog = spark.read.parquet(log_path)
+    if rebatch_by_bucket:
+        # partition the feed BY KEY BUCKET (each batch covers a disjoint
+        # bucket range — the sharded/per-tenant CDC feed shape cow is
+        # built for, and the shape whose batches the pipelined cow loop
+        # can overlap). Same key -> same batch, so LWW ordering is
+        # unaffected.
+        from etl_spark.table.manifest import bucket_expr
+
+        nb = max(16, parallelism)
+        changelog = changelog.withColumn(
+            "batch_id", (bucket_expr(["repo", "path"], nb) % num_batches).cast("long")
+        )
 
     # warm the executor-side machinery once before timing: JIT/codegen
     # for the WHOLE merge path (scan -> thin agg -> broadcast join ->
@@ -120,7 +133,7 @@ def bench_cdc_replay(
     engine = ReplayEngine(
         spark, table_root, num_buckets=max(16, parallelism), mode=mode, lww_strategy=lww_strategy
     )
-    results = engine.replay(changelog)
+    results = engine.replay(changelog, pipeline_depth=pipeline_depth)
     if mode == "mor":
         engine.compact(min_files=2)
     wall = time.monotonic() - t0
@@ -179,6 +192,23 @@ def main() -> None:
     finally:
         shutil.rmtree(workdir, ignore_errors=True)
 
+    # cow twin at a quarter of the window (cow rewrites touched buckets
+    # per batch, so its per-event cost is state-size-dependent; the
+    # quarter window keeps total bench wall bounded while measuring the
+    # pipelined-cow path end-to-end). Skippable via ETL_SPARK_BENCH_SKIP.
+    cdc_cow = None
+    if "cdc_replay_cow" not in skip:
+        workdir = tempfile.mkdtemp(prefix="etl_spark_bench_cow_", dir=bench_dir)
+        try:
+            t0 = time.monotonic()
+            cdc_cow = bench_cdc_replay(
+                spark, max(1, n_events // 4), num_batches, workdir, "cow",
+                rebatch_by_bucket=True,
+            )
+            queries["cdc_replay_cow"] = round(time.monotonic() - t0, 3)
+        finally:
+            shutil.rmtree(workdir, ignore_errors=True)
+
     from etl_spark.operators.catalog import CATALOG
 
     for name, (builder, _) in CATALOG.items():
@@ -198,6 +228,7 @@ def main() -> None:
                 "queries": queries,
                 "sf": _sf_from_dir(sf_dir),
                 "cdc": cdc,
+                "cdc_cow": cdc_cow,
                 "cores": int(cpus) if cpus.isdigit() else cpus,
             }
         )
