@@ -219,7 +219,8 @@ spark.sparkContext.addPyFile(zip_path)
 spark.sparkContext.setLogLevel("ERROR")
 wd = tempfile.mkdtemp(prefix="clus_{tag}_", dir="/dev/shm")
 try:
-    r = bench_cdc_replay(spark, {events}, {batches}, wd, {mode!r}, content_scale={content_scale})
+    r = bench_cdc_replay(spark, {events}, {batches}, wd, {mode!r}, content_scale={content_scale},
+                         pipeline_depth={depth})
 finally:
     shutil.rmtree(wd, ignore_errors=True)
 print("RESULT " + json.dumps(r))
@@ -246,7 +247,7 @@ def spawn_level(tag: str, master: str, cores_max: int, a, driver_pin: str | None
         repo=repo, tag=tag, master=master, cores_max=cores_max,
         events=a.events, batches=a.batches, mode=a.mode,
         content_scale=a.content_scale, warm_events=a.warm_events,
-        warm_batches=a.warm_batches,
+        warm_batches=a.warm_batches, depth=a.depth,
     )
     # the driver JVM + its Python UDF planner are pinned OFF the worker
     # cores so driver-side work never steals executor cycles
@@ -279,6 +280,12 @@ def main() -> None:
     ap.add_argument("--repeats", type=int, default=2)
     ap.add_argument("--warm-events", type=int, default=800_000)
     ap.add_argument("--warm-batches", type=int, default=2)
+    ap.add_argument("--depth", type=int, default=4,
+                    help="replay pipeline depth: core-utilization sampling showed "
+                    "the 4-executor level ~40%% idle at depth 2 — each batch's "
+                    "driver segments (plan/commit/stage barriers) starve 8 cores "
+                    "where they only starve 2 at the 1-executor level; more "
+                    "batches in flight fill those gaps")
     ap.add_argument("--min-cpu-ceiling", type=float, default=0.85,
                     help="skip the capture window if the pure-CPU probe says the "
                     "host can't even scale compute 2->8 cores at this ratio")

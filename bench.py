@@ -84,13 +84,21 @@ def bench_cdc_replay(
         # bucket range — the sharded/per-tenant CDC feed shape cow is
         # built for, and the shape whose batches the pipelined cow loop
         # can overlap). Same key -> same batch, so LWW ordering is
-        # unaffected.
+        # unaffected. Offsets are shifted so batch ranges ascend: the
+        # engine's fence contract is a WAL consumed in batch order —
+        # interleaved offset ranges would (correctly) be fenced off as
+        # already-applied. Materialized once, outside the timed window.
+        from pyspark.sql import functions as F
+
         from etl_spark.table.manifest import bucket_expr
 
         nb = max(16, parallelism)
-        changelog = changelog.withColumn(
+        shift = n_events * 10
+        rebatched = changelog.withColumn(
             "batch_id", (bucket_expr(["repo", "path"], nb) % num_batches).cast("long")
-        )
+        ).withColumn("offset", F.col("offset") + F.col("batch_id") * F.lit(shift))
+        rebatched.write.mode("overwrite").parquet(log_path + "_sharded")
+        changelog = spark.read.parquet(log_path + "_sharded")
 
     # warm the executor-side machinery once before timing: JIT/codegen
     # for the WHOLE merge path (scan -> thin agg -> broadcast join ->

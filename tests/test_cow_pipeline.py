@@ -45,21 +45,32 @@ def test_cow_pipelined_disjoint_batches_overlap_correctly(spark, tmp_path):
     ).drop("batch_id")
 
     # re-batch BY BUCKET: the engine's own layout decides, so batches
-    # are bucket-disjoint by construction
+    # are bucket-disjoint by construction. Offsets shift so batch
+    # ranges ascend — the fence contract is a WAL consumed in batch
+    # order; interleaved ranges would (correctly) be fenced off.
     probe = ReplayEngine(spark, str(tmp_path / "probe"), num_buckets=8, mode="cow")
     from etl_spark.table.manifest import bucket_expr
 
-    log = log.withColumn(
-        "batch_id",
-        (bucket_expr(probe.table.key_columns, 8) % 2).cast("long"),
-    ).cache()
+    log = (
+        log.withColumn(
+            "batch_id",
+            (bucket_expr(probe.table.key_columns, 8) % 2).cast("long"),
+        )
+        .withColumn("offset", F.col("offset") + F.col("batch_id") * F.lit(100_000))
+        .cache()
+    )
     assert log.select("batch_id").distinct().count() == 2
+    # both batches carry real volume (neither is fence-shadowed)
+    sizes = {r["batch_id"]: r["count"] for r in log.groupBy("batch_id").count().collect()}
+    assert min(sizes.values()) > 1000
 
     seq = ReplayEngine(spark, str(tmp_path / "seq"), num_buckets=8, mode="cow")
     seq.replay(log, pipeline_depth=1)
     pipe = ReplayEngine(spark, str(tmp_path / "pipe"), num_buckets=8, mode="cow")
     res = pipe.replay(log, pipeline_depth=2)
     assert all(r.get("pipelined") for r in res if not r.get("skipped"))
+    by = {r["batch_id"]: r for r in res}
+    assert by[0]["rows_in"] > 1000 and by[1]["rows_in"] > 1000
 
     a = seq.read_state().orderBy("repo", "path").collect()
     b = pipe.read_state().orderBy("repo", "path").collect()
