@@ -171,12 +171,24 @@ class Snapshot:
             "format_version": self.format_version,
         }
         if manifest_dir is None:
-            d["files"] = {str(b): fs for b, fs in self.files.items()}
+            d["files"] = {str(b): list(fs) for b, fs in self.files.items()}
         else:
-            d["files_ref"] = {
-                str(b): _write_manifest_shard(manifest_dir, fs)
-                for b, fs in self.files.items()
-            }
+            fm = self.files if isinstance(self.files, ShardedFileMap) else None
+            refs = {}
+            for b in self.files:
+                key = fm.ref_for(b) if fm is not None else None
+                if key is not None:
+                    # untouched bucket: reuse the shard ref AND its
+                    # stored summary (never hydrated here)
+                    meta = fm._meta.get(b)
+                    refs[str(b)] = {"k": key, **meta} if meta else key
+                else:
+                    entries = self.files[b]
+                    refs[str(b)] = {
+                        "k": _write_manifest_shard(manifest_dir, entries),
+                        **_shard_meta(entries),
+                    }
+            d["files_ref"] = refs
         return json.dumps(d, indent=1)
 
     @staticmethod
@@ -188,10 +200,18 @@ class Snapshot:
                     "format v3 snapshot references manifest shards; pass the "
                     "table's manifest directory to from_json"
                 )
-            files = {
-                int(b): _read_manifest_shard(manifest_dir, key)
-                for b, key in d["files_ref"].items()
-            }
+            # lazy: a bucket's entries parse from its shard on first
+            # access — point lookups and bucket-pruned reads touch
+            # O(accessed buckets) shards, not the table. Ref values are
+            # either a bare shard key (early v3) or {"k": key, ...summary}
+            refs, meta = {}, {}
+            for b, v in d["files_ref"].items():
+                if isinstance(v, str):
+                    refs[int(b)] = v
+                else:
+                    refs[int(b)] = v["k"]
+                    meta[int(b)] = {f: v[f] for f in ("n", "d", "by", "dby", "r") if f in v}
+            files = ShardedFileMap(refs, manifest_dir, meta=meta)
         else:
             files = {int(b): fs for b, fs in d["files"].items()}
         props = d.get("properties", {})
@@ -244,6 +264,127 @@ def _write_manifest_shard(manifest_dir: str, entries: list[dict]) -> str:
 def _read_manifest_shard(manifest_dir: str, key: str) -> list[dict]:
     with open(os.path.join(manifest_dir, f"m-{key}.json")) as f:
         return json.load(f)
+
+
+from collections.abc import Mapping  # noqa: E402  (used by ShardedFileMap)
+
+
+class ShardedFileMap(Mapping):
+    """Lazy ``{bucket: [entry, ...]}`` view over manifest shards.
+
+    Keys (the non-empty buckets) are known eagerly from the snapshot
+    document; a bucket's entry list hydrates from its shard file on
+    first access and is cached. Point paths (lookup, bucket-pruned
+    reads, per-bucket conflict checks) therefore parse O(touched)
+    shards instead of the whole table; whole-table iterations hydrate
+    everything, which is the parse they inherently need.
+
+    Immutable from the outside — structural changes go through
+    ``updated``, which shares the untouched buckets' SHARD REFERENCES
+    with the parent, so re-serializing a derived snapshot rewrites only
+    the changed buckets' shards (and a pure-metadata commit, e.g. DDL
+    or rollback, rewrites none)."""
+
+    def __init__(self, refs: dict[int, str], manifest_dir: str,
+                 overrides: dict[int, list] | None = None,
+                 meta: dict[int, dict] | None = None):
+        self._refs = dict(refs)
+        self._dir = manifest_dir
+        self._cache: dict[int, list] = {}
+        self._over = dict(overrides or {})
+        # per-bucket summary stats from the snapshot document (may be
+        # absent for refs written before stats, or partial for legacy
+        # entries) — lets sizing read n/d/by/dby/r without hydration
+        self._meta = dict(meta or {})
+
+    def __getitem__(self, b: int) -> list:
+        if b in self._over:
+            return self._over[b]
+        if b in self._cache:
+            return self._cache[b]
+        if b not in self._refs:
+            raise KeyError(b)
+        v = _read_manifest_shard(self._dir, self._refs[b])
+        self._cache[b] = v
+        return v
+
+    def __iter__(self):
+        return iter(sorted(set(self._refs) | set(self._over)))
+
+    def __len__(self) -> int:
+        return len(set(self._refs) | set(self._over))
+
+    def updated(self, changes: dict[int, list], removed: set | frozenset = frozenset()
+                ) -> "ShardedFileMap":
+        """A new map with ``changes`` applied (bucket -> full new entry
+        list) and ``removed`` buckets dropped; untouched buckets keep
+        sharing the parent's shard references (never hydrated here)."""
+        gone = set(removed) | set(changes)
+        refs = {b: k for b, k in self._refs.items() if b not in gone}
+        meta = {b: m for b, m in self._meta.items() if b not in gone}
+        over = {b: v for b, v in self._over.items() if b not in gone}
+        over.update({b: v for b, v in changes.items() if v})
+        return ShardedFileMap(refs, self._dir, over, meta)
+
+    def ref_for(self, b: int) -> str | None:
+        """The bucket's existing shard key, if its entries are untouched
+        (serialization reuses it without hydrating)."""
+        return None if b in self._over else self._refs.get(b)
+
+    def stat(self, b: int, field: str):
+        """Summary stat (n/d/by/dby/r) for an UNTOUCHED bucket from the
+        snapshot document, or None when unavailable — the caller falls
+        back to hydrating that bucket."""
+        if b in self._over:
+            return None
+        m = self._meta.get(b)
+        return None if m is None else m.get(field)
+
+
+def _shard_meta(entries: list[dict]) -> dict:
+    """Per-bucket summary stats stored NEXT TO the shard reference in
+    the snapshot document (Iceberg's manifest-list summary analog):
+    entry count / delta count / bytes / delta bytes / rows. Sizing and
+    compaction-eligibility decisions read these without hydrating any
+    shard — the per-batch metadata cost at 10^5 buckets."""
+    by = dby = d = r = 0
+    for e in entries:
+        n = e.get("bytes", 0)
+        by += n
+        r += e.get("rows", 0) or 0
+        kind = e.get("kind")
+        is_delta = (kind == "delta") if kind is not None else (
+            "-dl-" in os.path.basename(os.path.dirname(e["path"]))
+        )
+        if is_delta:
+            d += 1
+            dby += n
+    meta = {"n": len(entries), "d": d}
+    # size/row fields only when every entry recorded them (legacy
+    # entries fall back to hydration + dir walks — a wrong 0 here would
+    # silently misdirect compaction sizing)
+    if all("bytes" in e and e["bytes"] is not None for e in entries):
+        meta["by"] = by
+        meta["dby"] = dby
+    if all(e.get("rows") is not None for e in entries):
+        meta["r"] = r
+    return meta
+
+
+def _files_with(files, changes: dict[int, list], removed: set | frozenset = frozenset()):
+    """Apply structural changes to a snapshot's files mapping without
+    hydrating untouched shards (plain-dict fallback for v2 snapshots)."""
+    if isinstance(files, ShardedFileMap):
+        return files.updated(changes, removed)
+    out = {b: list(es) for b, es in files.items()}
+    for b in removed:
+        out.pop(b, None)
+    for b, v in changes.items():
+        if v:
+            out[b] = v
+        else:
+            out.pop(b, None)
+    return out
 
 
 def bucket_expr(key_columns: list[str], num_buckets: int):
@@ -551,10 +692,14 @@ class ManifestTable:
         kb = self._key_bucket_from_where(snap, preds) if preds else None
         if kb is not None:
             bucket_set = {kb} if bucket_set is None else bucket_set & {kb}
-        for b, entries in snap.files.items():
-            if bucket_set is not None and b not in bucket_set:
-                continue
-            for e in entries:
+        # iterate only the selected buckets: with lazy shards a pruned
+        # read (point lookup, bucket subset) parses O(selected) shards
+        sel_buckets = (
+            sorted(set(snap.files) & bucket_set) if bucket_set is not None
+            else list(snap.files)
+        )
+        for b in sel_buckets:
+            for e in snap.files[b]:
                 if preds and self._entry_prunable(e, preds, snap):
                     continue
                 groups.setdefault(e["sv"], []).append(e["path"])
@@ -790,12 +935,15 @@ class ManifestTable:
                     "layout this rewrite resolved from; re-plan from the "
                     "current snapshot"
                 )
-            files = {b: list(es) for b, es in base.files.items()}
-            for b in buckets:
-                files[b] = []  # rewritten (possibly to empty if all rows deleted)
-            for b, e in new_entries.items():
-                files[b] = [e]
-            files = {b: es for b, es in files.items() if es}
+            # rewritten buckets are replaced (possibly to empty when all
+            # rows were deleted); untouched buckets keep their shard refs
+            changes: dict[int, list] = {b: [] for b in buckets}
+            changes.update({b: [e] for b, e in new_entries.items()})
+            files = _files_with(
+                base.files,
+                {b: v for b, v in changes.items() if v},
+                {b for b, v in changes.items() if not v},
+            )
             try:
                 return self._commit_snapshot_like(base, files, properties_update)
             except CommitConflictError:
@@ -913,9 +1061,13 @@ class ManifestTable:
                     "re-plan the batch against the current snapshot"
                 )
             entries = dict(prepared)
-            files = {b: list(es) for b, es in snap.files.items()}
-            for b, e in entries.items():
-                files.setdefault(b, []).append(e)
+            # structural update shares untouched buckets' shard refs —
+            # an append commit hydrates and re-serializes only the
+            # buckets it touches
+            files = _files_with(
+                snap.files,
+                {b: list(snap.files.get(b, [])) + [e] for b, e in entries.items()},
+            )
             new = Snapshot(
                 version=snap.version + 1,
                 current_schema_version=snap.current_schema_version,
@@ -932,9 +1084,21 @@ class ManifestTable:
         raise last
 
     def delta_counts(self) -> dict[int, int]:
-        """{bucket: number of file entries} — >1 means unresolved deltas."""
+        """{bucket: number of file entries} — >1 means unresolved deltas.
+        Answered from the snapshot document's per-bucket summaries when
+        present (zero shard hydration — this runs once per replay batch)."""
         snap = self.current_snapshot()
-        return {b: len(es) for b, es in snap.files.items()}
+        return {b: self._bucket_stat(snap, b, "n", lambda es: len(es)) for b in snap.files}
+
+    @staticmethod
+    def _bucket_stat(snap: Snapshot, b: int, field: str, compute):
+        """Per-bucket stat from the document summary, hydrating the
+        bucket's shard only when the summary is absent/partial."""
+        if isinstance(snap.files, ShardedFileMap):
+            v = snap.files.stat(b, field)
+            if v is not None:
+                return v
+        return compute(snap.files[b])
 
     @staticmethod
     def _dir_bytes(d: str) -> int:
@@ -976,12 +1140,13 @@ class ManifestTable:
         a {bucket: bytes} map with ``per_bucket=True`` (the fan-out
         sizing needs the max, not the sum, under bucket-size skew)."""
         snap = snapshot or self.current_snapshot()
-        sel = set(buckets) if buckets is not None else None
-        sizes: dict[int, int] = {}
-        for b, entries in snap.files.items():
-            if sel is not None and b not in sel:
-                continue
-            sizes[b] = sum(self._entry_bytes(e) for e in entries)
+        sel = sorted(set(snap.files) & set(buckets)) if buckets is not None else list(snap.files)
+        sizes: dict[int, int] = {
+            b: self._bucket_stat(
+                snap, b, "by", lambda es: sum(self._entry_bytes(e) for e in es)
+            )
+            for b in sel
+        }
         return sizes if per_bucket else sum(sizes.values())
 
     def bucket_summary(self, snapshot: Snapshot | None = None) -> list[dict]:
@@ -1010,13 +1175,17 @@ class ManifestTable:
         deltas is O(table) write amplification per cycle, the classic
         LSM amortization problem."""
         snap = snapshot or self.current_snapshot()
-        sel = set(buckets) if buckets is not None else None
+        sel = sorted(set(snap.files) & set(buckets)) if buckets is not None else list(snap.files)
         out: dict[int, tuple[int, int]] = {}
-        for b, entries in snap.files.items():
-            if sel is not None and b not in sel:
-                continue
+        for b in sel:
+            if isinstance(snap.files, ShardedFileMap):
+                by = snap.files.stat(b, "by")
+                dby = snap.files.stat(b, "dby")
+                if by is not None and dby is not None:
+                    out[b] = (by - dby, dby)
+                    continue
             base = delta = 0
-            for e in entries:
+            for e in snap.files[b]:
                 n = self._entry_bytes(e)
                 if self._entry_is_delta(e):
                     delta += n
@@ -1275,7 +1444,8 @@ class ManifestTable:
             live_shards: set[str] = set()
             for v in sorted(keep):
                 with open(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json")) as f:
-                    live_shards.update(json.loads(f.read()).get("files_ref", {}).values())
+                    for ref in json.loads(f.read()).get("files_ref", {}).values():
+                        live_shards.add(ref if isinstance(ref, str) else ref["k"])
             import time as _time
 
             now = _time.time()

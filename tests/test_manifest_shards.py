@@ -62,9 +62,12 @@ def test_delta_commit_metadata_is_o_touched(spark, tmp_path):
     assert len(snap_docs) == 1
     doc = json.loads(open(snap_docs[0]).read())
     assert "files" not in doc and "files_ref" in doc
-    # written metadata bytes are a small fraction of the table's full
-    # metadata (31 untouched buckets' stats were NOT rewritten)
-    assert sum(new_meta.values()) < full_bytes / 4
+    # written metadata bytes are far below what embedding the entries
+    # would have written (the v2 form this replaces): 31 untouched
+    # buckets' per-column stats were NOT rewritten — only the document
+    # (one ~90 B ref+summary per bucket) plus ONE shard
+    v2_bytes = len(t.current_snapshot().to_json())  # embedded form
+    assert sum(new_meta.values()) < v2_bytes / 2
 
     # the untouched buckets' shard references are literally shared
     prev_doc = json.loads(
@@ -89,6 +92,19 @@ def test_delta_commit_metadata_is_o_touched(spark, tmp_path):
         (r["k"], r["v"]) for r in t.read(snapshot=old).where("k = 'k1'").collect()
     }
     assert got_old == {("k1", 1)}
+
+    # commit bytes are CONSTANT in entries-per-bucket: another delta to
+    # the same bucket writes a snapshot document of ~the same size
+    snap2 = t.current_snapshot()
+    w2 = t.write_delta_files(
+        spark.createDataFrame([("k1", 1000)], "k string, v long"), snap2
+    )
+    t.commit_appended(w2, snap2.current_schema_version)
+    meta3 = {p: b for p, b in _meta_files(root).items()
+             if p not in base_meta and p not in new_meta}
+    doc3 = [p for p in meta3 if "/manifests/" not in p]
+    assert len(doc3) == 1
+    assert abs(meta3[doc3[0]] - new_meta[snap_docs[0]]) < 500
 
 
 def test_v2_embedded_snapshot_still_readable(spark, tmp_path):
@@ -144,6 +160,75 @@ def test_expiry_gcs_unreferenced_shards(spark, tmp_path):
         doc = json.loads(
             open(os.path.join(root, "_snapshots", f"snapshot-{v:08d}.json")).read()
         )
-        for key in doc["files_ref"].values():
+        for ref in doc["files_ref"].values():
+            key = ref if isinstance(ref, str) else ref["k"]
             assert f"m-{key}.json" in after
     assert t.read().count() == 1
+
+
+def _count_hydrations(monkeypatch):
+    import etl_spark.table.manifest as M
+
+    calls = {"n": 0}
+    real = M._read_manifest_shard
+
+    def counted(d, k):
+        calls["n"] += 1
+        return real(d, k)
+
+    monkeypatch.setattr(M, "_read_manifest_shard", counted)
+    return calls
+
+
+def test_point_read_hydrates_one_shard(spark, tmp_path, monkeypatch):
+    """Attach + bucket-pruned read parse O(touched) shards, not the
+    table: the 100 TB point-lookup path."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)  # 32 buckets, all populated
+    calls = _count_hydrations(monkeypatch)
+    t2 = ManifestTable(spark, root, ["k"])
+    snap = t2.current_snapshot()
+    assert calls["n"] == 0  # attach parses the document only
+    b = t2.bucket_for_key({"k": "k1"}, snapshot=snap)
+    got = t2.read(buckets=[b], snapshot=snap).where("k = 'k1'").collect()
+    assert {(r["k"], r["v"]) for r in got} == {("k1", 1)}
+    assert calls["n"] == 1  # exactly the probed bucket's shard
+
+
+def test_sizing_reads_document_summaries_not_shards(spark, tmp_path, monkeypatch):
+    """delta_counts / bucket_bytes / bucket_delta_base_bytes — the
+    per-replay-batch eligibility checks — answer from the snapshot
+    document's per-bucket summaries with zero shard hydration."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)
+    snap0 = t.current_snapshot()
+    written = t.write_delta_files(
+        spark.createDataFrame([("k1", 7)], "k string, v long"), snap0
+    )
+    t.commit_appended(written, snap0.current_schema_version)
+
+    calls = _count_hydrations(monkeypatch)
+    t2 = ManifestTable(spark, root, ["k"])
+    dc = t2.delta_counts()
+    bb = t2.bucket_bytes(per_bucket=True)
+    db = t2.bucket_delta_base_bytes()
+    assert calls["n"] == 0
+    assert sum(dc.values()) == 33  # 32 base + 1 delta entry
+    assert len(bb) == 32 and all(v > 0 for v in bb.values())
+    touched = [b for b, (base, delta) in db.items() if delta > 0]
+    assert len(touched) == 1
+
+
+def test_append_commit_hydrates_only_touched(spark, tmp_path, monkeypatch):
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)
+    snap0 = t.current_snapshot()
+    written = t.write_delta_files(
+        spark.createDataFrame([("k1", 7)], "k string, v long"), snap0
+    )
+    calls = _count_hydrations(monkeypatch)
+    t2 = ManifestTable(spark, root, ["k"])
+    t2.commit_appended(written, snap0.current_schema_version)
+    # only the touched bucket's entries were read to build its new list
+    assert calls["n"] <= 2
+    assert t2.read().where("k = 'k1' and v = 7").count() == 1
