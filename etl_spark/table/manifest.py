@@ -1295,10 +1295,25 @@ class ManifestTable:
         diff of their manifests IS the change set)."""
         old = self.snapshot_at(from_version)
         new = self.snapshot_at(to_version)
-        seen = {e["path"] for es in old.files.values() for e in es}
+        # shard-ref fast path: a bucket whose content-addressed ref is
+        # identical in both snapshots is byte-identical — skip it without
+        # hydrating either side. An incremental chain pull then parses
+        # O(changed buckets) metadata, not two full tables.
+        changed = list(new.files)
+        if isinstance(old.files, ShardedFileMap) and isinstance(new.files, ShardedFileMap):
+            changed = [
+                b for b in new.files
+                if new.files.ref_for(b) is None
+                or new.files.ref_for(b) != old.files.ref_for(b)
+            ]
+        seen = {
+            e["path"]
+            for b in changed if b in old.files
+            for e in old.files[b]
+        }
         out: dict[int, list[dict]] = {}
-        for b, es in new.files.items():
-            fresh = [e for e in es if e["path"] not in seen]
+        for b in changed:
+            fresh = [e for e in new.files[b] if e["path"] not in seen]
             if fresh:
                 out[b] = fresh
         return out

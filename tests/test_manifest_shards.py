@@ -232,3 +232,24 @@ def test_append_commit_hydrates_only_touched(spark, tmp_path, monkeypatch):
     # only the touched bucket's entries were read to build its new list
     assert calls["n"] <= 2
     assert t2.read().where("k = 'k1' and v = 7").count() == 1
+
+
+def test_added_files_diff_is_o_changed(spark, tmp_path, monkeypatch):
+    """Snapshot diff (the incremental chain pull) skips buckets whose
+    content-addressed refs match — O(changed buckets) hydration."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)
+    v0 = t.current_snapshot().version
+    snap = t.current_snapshot()
+    written = t.write_delta_files(
+        spark.createDataFrame([("k1", 999)], "k string, v long"), snap
+    )
+    t.commit_appended(written, snap.current_schema_version)
+    v1 = t.current_snapshot().version
+
+    calls = _count_hydrations(monkeypatch)
+    t2 = ManifestTable(spark, root, ["k"])
+    out = t2.added_files(v0, v1)
+    assert list(out) == list(written)  # exactly the touched bucket
+    assert sum(len(es) for es in out.values()) == 1
+    assert calls["n"] <= 2  # old+new shard of the one changed bucket
