@@ -116,6 +116,66 @@ def _group_rate(fn, cpus: list[int], secs: float) -> float:
         return sum(pool.map(fn, [(c, secs) for c in cpus]))
 
 
+class _CoreSampler:
+    """Samples /proc/stat busy%% for the worker cores while a level
+    runs — reported per level so each capture carries its own
+    executor-idle evidence (the N->4N gap on this host is idle time
+    during driver segments, not saturated cores)."""
+
+    def __init__(self, cores: list[int], interval: float = 1.0):
+        import threading
+
+        self.cores = cores
+        self.interval = interval
+        self.samples: list[float] = []
+        self._stop = threading.Event()
+        self._t = threading.Thread(target=self._run, daemon=True)
+
+    @staticmethod
+    def _snap() -> dict[int, tuple[int, int]]:
+        out = {}
+        with open("/proc/stat") as f:
+            for line in f:
+                if line.startswith("cpu") and line[3].isdigit():
+                    p = line.split()
+                    idle = int(p[4]) + int(p[5])
+                    out[int(p[0][3:])] = (sum(map(int, p[1:11])), idle)
+        return out
+
+    def _run(self):
+        prev = self._snap()
+        while not self._stop.wait(self.interval):
+            cur = self._snap()
+            busy = []
+            for c in self.cores:
+                dt = cur[c][0] - prev[c][0]
+                di = cur[c][1] - prev[c][1]
+                if dt > 0:
+                    busy.append(100.0 * (1 - di / dt))
+            if busy:
+                self.samples.append(sum(busy) / len(busy))
+            prev = cur
+
+    def __enter__(self):
+        self._t.start()
+        return self
+
+    def __exit__(self, *a):
+        self._stop.set()
+        self._t.join(timeout=3)
+
+    def stats(self) -> dict:
+        s = self.samples
+        if not s:
+            return {}
+        half = s[len(s) // 2:]
+        return {
+            "worker_busy_mean": round(sum(s) / len(s), 1),
+            # last half ~ the timed window (first half is warm-up/datagen)
+            "worker_busy_last_half": round(sum(half) / len(half), 1),
+        }
+
+
 def sweep_cores(secs: float = 1.0) -> dict[int, float]:
     rates = {}
     for c in range(os.cpu_count()):
@@ -270,7 +330,12 @@ def wait_level(tag: str, proc: subprocess.Popen, timeout: int = 3600) -> dict:
 
 
 def run_level(tag: str, master: str, cores_max: int, a, driver_pin: str | None,
-              repo: str = REPO) -> dict:
+              repo: str = REPO, sample_cores: list[int] | None = None) -> dict:
+    if sample_cores:
+        with _CoreSampler(sample_cores) as smp:
+            r = wait_level(tag, spawn_level(tag, master, cores_max, a, driver_pin, repo))
+        r.update(smp.stats())
+        return r
     return wait_level(tag, spawn_level(tag, master, cores_max, a, driver_pin, repo))
 
 
@@ -330,8 +395,10 @@ def main() -> None:
     try:
         lo_runs, hi_runs = [], []
         for i in range(args.repeats):
-            lo_runs.append(run_level("n1", master, 2, args, driver_pin, repo))
-            hi_runs.append(run_level("n4", master, 8, args, driver_pin, repo))
+            lo_runs.append(run_level("n1", master, 2, args, driver_pin, repo,
+                                     sample_cores=worker_cores))
+            hi_runs.append(run_level("n4", master, 8, args, driver_pin, repo,
+                                     sample_cores=worker_cores))
             print(json.dumps({"repeat": i, "exec1_eps": lo_runs[-1]["events_per_sec"],
                               "exec4_eps": hi_runs[-1]["events_per_sec"],
                               "pair_eff": round((hi_runs[-1]["events_per_sec"]
