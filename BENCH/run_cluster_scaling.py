@@ -306,10 +306,17 @@ def snapshot_repo() -> str:
 
 def spawn_level(tag: str, master: str, cores_max: int, a, driver_pin: str | None,
                 repo: str = REPO) -> subprocess.Popen:
+    # warm-up rows SPLIT across executors: the 4-executor level must see
+    # 4x the rows for each fresh JVM to cross the same C2 thresholds the
+    # 1-executor level's single JVM crosses (task metrics showed the
+    # 4-exec level burning 1.43x the JVM CPU for identical work — the
+    # per-JVM compile/interpreted tax). Warm-up is outside the timed
+    # window at both levels.
     code = _CHILD.format(
         repo=repo, tag=tag, master=master, cores_max=cores_max,
         events=a.events, batches=a.batches, mode=a.mode,
-        content_scale=a.content_scale, warm_events=a.warm_events,
+        content_scale=a.content_scale,
+        warm_events=a.warm_events * max(1, cores_max // 2),
         warm_batches=a.warm_batches, depth=a.depth,
     )
     # the driver JVM + its Python UDF planner are pinned OFF the worker
