@@ -211,6 +211,9 @@ def _large_star(edges: DataFrame, loop_parts: int) -> DataFrame:
         .where(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
         .where(F.col("u") != F.col("v"))
+        # distinct exchanges on (u, v) at session width; AQE coalesces
+        # the tiny loop frames at runtime, so no explicit repartition
+        # here — adding one would just insert a second exchange
         .distinct()
     )
 
