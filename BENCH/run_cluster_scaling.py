@@ -200,15 +200,26 @@ def ceilings(pairs: list[list[int]], secs: float = 3.0) -> dict:
     read 3.4 GB/s -> 'ceiling' 6.1, passing the gate in a bad window)."""
     lo_set = pairs[0]
     hi_set = sorted(c for p in pairs for c in p)
-    burn2 = max(_group_rate(_burn, lo_set, secs) for _ in range(2))
-    burn8 = max(_group_rate(_burn, hi_set, secs) for _ in range(2))
-    bw2 = max(_group_rate(_bw, lo_set, secs) for _ in range(2))
-    bw8 = max(_group_rate(_bw, hi_set, secs) for _ in range(2))
+    burn2_s = [_group_rate(_burn, lo_set, secs) for _ in range(2)]
+    burn8_s = [_group_rate(_burn, hi_set, secs) for _ in range(2)]
+    bw2_s = [_group_rate(_bw, lo_set, secs) for _ in range(2)]
+    bw8_s = [_group_rate(_bw, hi_set, secs) for _ in range(2)]
+    burn2, burn8 = max(burn2_s), max(burn8_s)
+    bw2, bw8 = max(bw2_s), max(bw8_s)
     return {
         "cpu_ceiling": round(min((burn8 / burn2) / 4, 1.1), 3),
         "bw_ceiling": round(min((bw8 / bw2) / 4, 1.1), 3),
         "burn_hps": {"p2": round(burn2), "p8": round(burn8)},
         "bw_gbps": {"p2": round(bw2 / 1e9, 2), "p8": round(bw8 / 1e9, 2)},
+        # full sample spread alongside the best-sample ceiling, so a
+        # reader can judge how noisy the window was rather than seeing
+        # only the most favorable ratio
+        "samples": {
+            "burn_hps_p2": [round(x) for x in burn2_s],
+            "burn_hps_p8": [round(x) for x in burn8_s],
+            "bw_gbps_p2": [round(x / 1e9, 2) for x in bw2_s],
+            "bw_gbps_p8": [round(x / 1e9, 2) for x in bw8_s],
+        },
     }
 
 
@@ -453,6 +464,11 @@ def main() -> None:
     best_i = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
     lo, hi = lo_runs[best_i], hi_runs[best_i]
     eff = pair_effs[best_i]
+    srt = sorted(pair_effs)
+    mid = len(srt) // 2
+    eff_median = round(
+        srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
+    )
     result = {
         "metric": "cdc_replay_executor_scaling_efficiency",
         "cluster": "standalone, 4 workers x 2 pinned cores (balanced pairs)",
@@ -461,7 +477,8 @@ def main() -> None:
         "warm_events": args.warm_events, "warm_batches": args.warm_batches,
         "executors_1": lo, "executors_4": hi,
         "speedup": round(hi["events_per_sec"] / lo["events_per_sec"], 3),
-        "efficiency": eff, "target": 0.8, "pass": eff >= 0.8,
+        "efficiency": eff, "efficiency_median": eff_median,
+        "target": 0.8, "pass": eff >= 0.8,
         "ceilings": ceil,
         "efficiency_vs_cpu_ceiling": round(eff / ceil["cpu_ceiling"], 3),
         "efficiency_vs_bw_ceiling": round(eff / ceil["bw_ceiling"], 3),
@@ -504,7 +521,11 @@ the worker cores.
 | 4 x 2-core | {hi["wall_sec"]} | {hi["events_per_sec"]} |
 
 Speedup {result["speedup"]}x over 4x executors -> **efficiency
-{result["efficiency"]}** (target >= 0.8: {"PASS" if result["pass"] else "MISS"}).
+{result["efficiency"]} (best pair) / {eff_median} (median pair)**
+(target >= 0.8 on best: {"PASS" if result["pass"] else "MISS"}; best is the
+headline because only a noise-free window measures the engine, but the
+median is recorded so round-over-round readers see typical, not
+best-case, scaling).
 All same-window pair efficiencies: {pair_effs}.
 Host ceilings at capture time over the exact pin sets (2 -> 8 procs,
 perfect = 1.0): pure-CPU {ceil["cpu_ceiling"]}, DRAM-bandwidth

@@ -335,16 +335,23 @@ def merge_batch(
         sess = batch_events.sparkSession
         old_sp = sess.conf.get("spark.sql.shuffle.partitions")
         sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
+        stats_thread = threading.Thread(target=_collect_stats, daemon=True)
+        stats_thread.start()
         try:
-            stats_thread = threading.Thread(target=_collect_stats, daemon=True)
-            stats_thread.start()
             t_planned = time.monotonic()
             written = table.write_delta_files(
                 delta, snap, post_shuffle=with_content_sha256
             )
             t_written = time.monotonic()
-            stats_thread.join()
         finally:
+            # join BEFORE restoring the conf, on every exit path: if the
+            # write raises, the stats thread may still be building plans —
+            # restoring mid-flight is exactly the mid-batch-restore race
+            # the whole-batch bracket exists to eliminate (and a live
+            # thread would leak into the next batch on engines that catch
+            # and continue). The stats job is a bounded metadata collect,
+            # so an untimed join is safe.
+            stats_thread.join()
             sess.conf.set("spark.sql.shuffle.partitions", old_sp)
         if "err" in stats_holder:
             raise stats_holder["err"]

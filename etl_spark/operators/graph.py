@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql.types import NumericType
 
 # propagation rounds = component diameter; verified near-dup components
 # are dense so diameters are tiny. Star contraction needs O(log^2 n):
@@ -50,7 +51,8 @@ def connected_components(
     Returns a DataFrame ``(vertex, component)`` covering every vertex
     that appears in at least one pair. Vertex ids must be orderable;
     ``propagation`` additionally requires them numeric (its convergence
-    check sums labels).
+    check sums labels) — non-numeric ids are routed to star contraction
+    under ``auto`` and rejected with TypeError under ``propagation``.
 
     ``algorithm``: ``"propagation"`` | ``"star"`` | ``"auto"`` (try
     propagation, fall back to star contraction on non-convergence).
@@ -72,7 +74,25 @@ def connected_components(
     # overhead every round
     sess_parts = int(pairs.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     loop_parts = max(1, min(sess_parts, -(-2 * n_pairs // 100_000)))
+    # propagation's convergence test sums labels: a non-numeric vertex
+    # type (UUID strings, ...) casts to NULL, both sums come back NULL,
+    # and NULL == NULL would declare convergence after one round —
+    # silently wrong for any diameter > 1 component. Route such graphs
+    # straight to star contraction, whose multiset checksum works for
+    # any orderable type; 'propagation' explicitly requested → refuse.
+    numeric_ids = all(
+        isinstance(pairs.schema[c].dataType, NumericType) for c in ("u", "v")
+    )
     try:
+        if not numeric_ids:
+            if algorithm == "propagation":
+                raise TypeError(
+                    "algorithm='propagation' requires numeric vertex ids "
+                    f"(got {pairs.schema['u'].dataType.simpleString()}/"
+                    f"{pairs.schema['v'].dataType.simpleString()}) — its "
+                    "convergence check sums labels; use 'star' or 'auto'"
+                )
+            return _star_contraction(pairs, loop_parts, max_rounds or MAX_STAR_ROUNDS)
         if algorithm in ("auto", "propagation"):
             rounds = max_rounds or MAX_PROPAGATION_ROUNDS
             out = _propagate(pairs, loop_parts, rounds)

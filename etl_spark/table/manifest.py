@@ -43,8 +43,15 @@ shard reference per non-empty bucket. A commit therefore writes the
 small snapshot document plus new shards for the TOUCHED buckets only —
 untouched buckets' shards (with their per-column stats, the dominant
 bytes) are shared by reference across snapshots, exactly how Iceberg
-shares unchanged manifests through the manifest list. A delta commit's
-metadata write cost is O(touched buckets), not O(table);
+shares unchanged manifests through the manifest list. Precisely: a
+delta commit writes O(touched buckets) shard bytes (the per-column
+stats, dominant) plus a snapshot document that still carries one small
+constant-size ref+summary object per non-empty bucket — O(num_buckets)
+document bytes (~90 B/bucket; ~9 MB per commit at 10^5 buckets). True
+O(touched) for the document too would need manifest-list-style sharding
+of the ref table itself; at the bucket counts this engine targets the
+document term is noise next to the shard bytes, so it is deliberately
+kept flat. ``expire_snapshots``
 ``expire_snapshots`` garbage-collects shards referenced by no surviving
 snapshot. Format v2 snapshots (entries embedded) remain readable.
 

@@ -79,6 +79,26 @@ def test_star_handles_string_vertices(spark):
     assert got == {"a": "a", "b": "a", "c": "a", "x": "x", "y": "x"}
 
 
+def test_auto_routes_string_vertices_to_star(spark):
+    # the advisor's trap: propagation's label-sum convergence check casts
+    # to decimal → NULL for string ids → NULL == NULL declared convergence
+    # after one round. 'auto' must bypass propagation entirely for
+    # non-numeric ids; diameter-3 chain catches the one-round wrong answer.
+    pairs = [("b", "a"), ("c", "b"), ("d", "c")]
+    got = _labels(
+        connected_components(_pairs_df(spark, pairs, "string"), algorithm="auto")
+    )
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "a"}
+
+
+def test_propagation_rejects_string_vertices(spark):
+    pairs = [("b", "a"), ("c", "b")]
+    with pytest.raises(TypeError, match="numeric"):
+        connected_components(
+            _pairs_df(spark, pairs, "string"), algorithm="propagation"
+        )
+
+
 def test_empty_input(spark):
     df = _pairs_df(spark, []).limit(0)
     assert connected_components(df, algorithm="auto").count() == 0
