@@ -95,8 +95,12 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
             "create the downstream engine with matching target_columns"
         )
 
-    applied = dst_snap.properties.get("applied_batches", [])
-    batch_id = (max(applied) + 1) if applied else 0
+    # next downstream batch id = one past everything applied (watermark
+    # prefix + residual window — the stored form is bounded, see replay.py)
+    residual = dst_snap.properties.get("applied_batches", [])
+    wm = int(dst_snap.properties.get("applied_batches_watermark", -1))
+    applied = bool(residual) or wm >= 0
+    batch_id = max([wm] + [int(b) for b in residual]) + 1
     if last not in src.table._snapshot_versions():
         # the watermark snapshot was expired upstream: incremental diff
         # impossible. A downstream that never applied anything can

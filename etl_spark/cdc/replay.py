@@ -13,6 +13,16 @@ window (``src/jobs/sd_delta.py:31-32``), skip-if-already-applied
 idempotency (``src/byggesager/byggesager.py:191-197``,
 ``src/jobs/byggesager_sbsys.py:35-44``), retry/resume
 (``src/sensum/sensum.py:110-112``).
+
+The bookkeeping is BOUNDED — O(1) in replay lifetime, not O(batches):
+``applied_batches_watermark`` (all ids <= it are applied) plus a
+normally-empty ``applied_batches`` residual list for out-of-order ids
+above it encode the applied-batch set, and ``applied_schema_ops``
+retains only op offsets above the committed ``fence_offset`` (an op is
+applied in the same replay step that fences past its offset, so older
+entries are redundant). A 10^4-batch replay therefore rewrites two
+integers and two ~empty lists per snapshot instead of 10^4-element
+lists — the same contiguous-prefix idea as the chain's offset fence.
 """
 
 from __future__ import annotations
@@ -43,6 +53,33 @@ CDC_TARGET_COLUMNS = [
 ]
 
 
+def _applied_state(props: dict) -> tuple[int, list[int]]:
+    """(watermark, residual ids above it) — together they encode the
+    applied-batch set: applied(b) iff b <= watermark or b in residual."""
+    return (
+        int(props.get("applied_batches_watermark", -1)),
+        [int(b) for b in props.get("applied_batches", [])],
+    )
+
+
+def _is_applied(watermark: int, residual: list[int], batch_id: int) -> bool:
+    return batch_id <= watermark or batch_id in residual
+
+
+def _compact_applied(watermark: int, ids) -> tuple[int, list[int]]:
+    """Advance the contiguous-prefix watermark over ``ids`` and return
+    (new watermark, sorted residual ids still above it). Batch ids are
+    applied 0,1,2,... in the common case, so the residual is normally
+    empty and every snapshot carries O(1) bookkeeping bytes regardless
+    of how many batches the table has ever ingested."""
+    s = sorted({int(i) for i in ids if int(i) > watermark})
+    k = 0
+    while k < len(s) and s[k] == watermark + 1:
+        watermark += 1
+        k += 1
+    return watermark, s[k:]
+
+
 class ReplayEngine:
     """``mode='cow'`` rewrites touched buckets per batch (resolution-free
     reads); ``mode='mor'`` appends delta files per batch (O(batch) writes
@@ -64,6 +101,8 @@ class ReplayEngine:
         compact_delta_fraction: float | None = None,
         compact_sort: bool = True,
         stats_columns: list[str] | None = None,
+        expire_every: int | None = None,
+        expire_keep_last: int = 5,
     ):
         """``target_columns``/``key_columns`` customize the v1 table shape
         (default: the north-rule source-code schema keyed on (repo,
@@ -97,7 +136,19 @@ class ReplayEngine:
         ``stats_columns`` (create-time only): extra columns tracked for
         file-entry min/max statistics beyond the key columns — e.g.
         ``["commit"]`` lets ``read_state(where=[("commit", ">=", …)])``
-        prune whole entries."""
+        prune whole entries.
+
+        ``expire_every``: opt-in automatic retention — every N applied
+        batches the replay loop calls ``expire_snapshots(keep_last=
+        expire_keep_last)`` (snapshot expiry + manifest-shard GC +
+        orphan-data vacuum), so a 10^4-commit ingest doesn't accumulate
+        10^4 snapshots until an operator intervenes. Runs only at
+        pipeline-drained points (expiry vacuums data dirs referenced by
+        no surviving snapshot — an in-flight written-but-uncommitted
+        batch's dir must not exist when it scans). Time travel remains
+        available for the newest ``expire_keep_last`` snapshots; reads
+        beyond retention raise the documented ValueError
+        (``read_state(at_version=…)``). Off (None) by default."""
         assert mode in ("cow", "mor")
         assert lww_strategy in ("broadcast", "agg", "salted")
         self.spark = spark
@@ -114,6 +165,11 @@ class ReplayEngine:
         self.tombstone_commit_watermark = tombstone_commit_watermark
         self.compact_delta_fraction = compact_delta_fraction
         self.compact_sort = compact_sort
+        if expire_every is not None and expire_every < 1:
+            raise ValueError("expire_every must be >= 1 (or None to disable)")
+        self.expire_every = expire_every
+        self.expire_keep_last = expire_keep_last
+        self._commits_since_expire = 0
         keys = list(key_columns or ["repo", "path"])
         cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in (target_columns or CDC_TARGET_COLUMNS)]
         have = {c.name for c in cols}
@@ -159,7 +215,8 @@ class ReplayEngine:
                 TableSchema(cols),
                 key_columns=keys,
                 num_buckets=num_buckets,
-                properties={"applied_batches": [], "applied_schema_ops": [],
+                properties={"applied_batches": [], "applied_batches_watermark": -1,
+                            "applied_schema_ops": [],
                             "fence_offset": -1, "engine_mode": mode,
                             **({"stats_columns": ",".join(stats_columns)}
                                if stats_columns else {})},
@@ -188,10 +245,25 @@ class ReplayEngine:
     # ---------- bookkeeping ----------
 
     def applied_batches(self) -> list[int]:
-        return list(self.table.current_snapshot().properties.get("applied_batches", []))
+        """All applied batch ids, reconstructed from the watermark plus
+        the residual out-of-order window (the stored form is O(1), not
+        O(lifetime); this accessor materializes the full list)."""
+        wm, residual = _applied_state(self.table.current_snapshot().properties)
+        return list(range(wm + 1)) + residual
 
     def fence_offset(self) -> int:
         return int(self.table.current_snapshot().properties.get("fence_offset", -1))
+
+    def _maybe_expire(self) -> None:
+        """Auto-retention tick: when ``expire_every`` is set and that many
+        data commits have landed since the last expiry, expire snapshots
+        down to ``expire_keep_last``. Callers MUST be at a drained point
+        (no written-but-uncommitted batch dirs) — expiry vacuums data
+        dirs referenced by no surviving snapshot."""
+        if not self.expire_every or self._commits_since_expire < self.expire_every:
+            return
+        self._commits_since_expire = 0
+        self.table.expire_snapshots(keep_last=self.expire_keep_last)
 
     def _append_metrics_row(self, batch_id, rows_in, upserts, deletes, distinct_keys, n_ops, duration_ms):
         """One-row lineage record per batch — written driver-side with
@@ -399,7 +471,11 @@ class ReplayEngine:
                 max_bytes * snap.num_buckets / tot_bytes if tot_bytes else 0.0
             ),
             "fence_offset": int(snap.properties.get("fence_offset", -1)),
-            "applied_batches": len(snap.properties.get("applied_batches", [])),
+            "applied_batches": (
+                int(snap.properties.get("applied_batches_watermark", -1))
+                + 1
+                + len(snap.properties.get("applied_batches", []))
+            ),
         }
 
     def lookup(self, **key_values) -> DataFrame:
@@ -581,9 +657,9 @@ class ReplayEngine:
             )
             ordered = sorted(batches)
             # batches with no rows in the changelog route through
-            # apply_batch too: its empty-batch path applies pending ops
-            # at/below the current fence, which the pipelined empty-batch
-            # branch does not — sequential parity requires the detour
+            # apply_batch too, keeping the empty-batch fencing identical
+            # to the sequential path (ops at/below the committed fence
+            # are treated as applied on both paths)
             op_batches: set[int] = {
                 b for b in ordered if bounds.get(b, (None, None))[1] is None
             }
@@ -665,7 +741,7 @@ class ReplayEngine:
         )
 
         snap0 = self.table.current_snapshot()
-        applied = list(snap0.properties.get("applied_batches", []))
+        applied_wm, applied = _applied_state(snap0.properties)
         ops_list = list(snap0.properties.get("applied_schema_ops", []))
         fence = int(snap0.properties.get("fence_offset", -1))
         sv = snap0.current_schema_version
@@ -680,6 +756,7 @@ class ReplayEngine:
             t_c = time.monotonic()
             self.table.commit_rewritten(p["touched"], entries, p["basis"], p["props"])
             commit_ms = int((time.monotonic() - t_c) * 1000)
+            self._commits_since_expire += 1
             p["maxes"].unpersist()
             inflight.difference_update(p["touched"])
             stats = p["stats"]
@@ -703,7 +780,7 @@ class ReplayEngine:
 
         try:
             for b in batches:
-                if b in applied:
+                if _is_applied(applied_wm, applied, b):
                     results.append({"batch_id": b, "skipped": True})
                     continue
                 t0 = time.monotonic()
@@ -711,12 +788,14 @@ class ReplayEngine:
                 if lo is None:
                     while pending:
                         drain_one()
-                    applied = applied + [b]
+                    applied_wm, applied = _compact_applied(applied_wm, applied + [b])
                     self.table.commit_appended({}, sv, {
                         "applied_batches": applied,
-                        "applied_schema_ops": ops_list,
+                        "applied_batches_watermark": applied_wm,
+                        "applied_schema_ops": [o for o in ops_list if o > fence],
                         "fence_offset": fence,
                     })
+                    self._commits_since_expire += 1
                     results.append({"batch_id": b, "skipped": False, "schema_ops": 0,
                                     "duration_ms": int((time.monotonic() - t0) * 1000),
                                     "rows_in": 0, "distinct_keys": 0, "upserts": 0,
@@ -742,7 +821,7 @@ class ReplayEngine:
                     broadcast_key_budget=self.broadcast_key_budget,
                     tombstone_commit_watermark=self.tombstone_commit_watermark,
                 )
-                applied = applied + [b]
+                applied_wm, applied = _compact_applied(applied_wm, applied + [b])
                 fence = max(fence, int(hi))
                 inflight.update(touched)
 
@@ -757,13 +836,21 @@ class ReplayEngine:
                     "plan_ms": int((time.monotonic() - t0) * 1000),
                     "write_fut": pool.submit(_timed_write),
                     "props": {"applied_batches": applied,
-                              "applied_schema_ops": ops_list,
+                              "applied_batches_watermark": applied_wm,
+                              "applied_schema_ops": [o for o in ops_list if o > fence],
                               "fence_offset": fence},
                 })
                 while len(pending) >= depth:
                     drain_one()
+                if self.expire_every and self._commits_since_expire >= self.expire_every:
+                    # retention tick needs a fully drained pipeline: the
+                    # vacuum treats written-but-uncommitted dirs as orphans
+                    while pending:
+                        drain_one()
+                    self._maybe_expire()
             while pending:
                 drain_one()
+            self._maybe_expire()
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
         results.sort(key=lambda r: r["batch_id"])
@@ -794,7 +881,7 @@ class ReplayEngine:
         from etl_spark.functions.normalize import with_content_sha256
 
         snap = self.table.current_snapshot()
-        applied = list(snap.properties.get("applied_batches", []))
+        applied_wm, applied = _applied_state(snap.properties)
         ops_list = list(snap.properties.get("applied_schema_ops", []))
         fence = int(snap.properties.get("fence_offset", -1))
         sv = snap.current_schema_version
@@ -821,6 +908,7 @@ class ReplayEngine:
             t_c = time.monotonic()
             self.table.commit_appended(written, sv, p["props"])
             commit_ms = int((time.monotonic() - t_c) * 1000)
+            self._commits_since_expire += 1
             stats = _stats_from_rows(per_bucket)
             duration_ms = int((time.monotonic() - p["t0"]) * 1000)
             self._append_bucket_metrics(p["batch_id"], _bucket_counters(per_bucket))
@@ -846,7 +934,7 @@ class ReplayEngine:
 
         try:
             for b in batches:
-                if b in applied:
+                if _is_applied(applied_wm, applied, b):
                     results.append({"batch_id": b, "skipped": True})
                     continue
                 t0 = time.monotonic()
@@ -855,12 +943,14 @@ class ReplayEngine:
                     # empty batch: still fence it (ordered -> drain first)
                     while pending:
                         drain_one()
-                    applied = applied + [b]
+                    applied_wm, applied = _compact_applied(applied_wm, applied + [b])
                     self.table.commit_appended({}, sv, {
                         "applied_batches": applied,
-                        "applied_schema_ops": ops_list,
+                        "applied_batches_watermark": applied_wm,
+                        "applied_schema_ops": [o for o in ops_list if o > fence],
                         "fence_offset": fence,
                     })
+                    self._commits_since_expire += 1
                     results.append({"batch_id": b, "skipped": False, "schema_ops": 0,
                                     "duration_ms": int((time.monotonic() - t0) * 1000),
                                     "rows_in": 0, "distinct_keys": 0, "upserts": 0,
@@ -875,7 +965,7 @@ class ReplayEngine:
                     events_upper_bound=int(hi) - int(lo) + 1,
                     delete_guard=delete_guard,
                 )
-                applied = applied + [b]
+                applied_wm, applied = _compact_applied(applied_wm, applied + [b])
                 fence = max(fence, int(hi))
 
                 def _timed_write(d=delta):
@@ -889,7 +979,8 @@ class ReplayEngine:
                     "write_fut": pool.submit(_timed_write),
                     "stats_fut": stats_pool.submit(per_bucket_plan.collect),
                     "props": {"applied_batches": applied,
-                              "applied_schema_ops": ops_list,
+                              "applied_batches_watermark": applied_wm,
+                              "applied_schema_ops": [o for o in ops_list if o > fence],
                               "fence_offset": fence},
                 })
                 while len(pending) >= depth:
@@ -903,8 +994,15 @@ class ReplayEngine:
                         drain_one()
                     self.compact(min_files=self.compact_threshold,
                                  min_delta_fraction=self.compact_delta_fraction)
+                if self.expire_every and self._commits_since_expire >= self.expire_every:
+                    # retention tick needs a fully drained pipeline: the
+                    # vacuum treats written-but-uncommitted dirs as orphans
+                    while pending:
+                        drain_one()
+                    self._maybe_expire()
             while pending:
                 drain_one()
+            self._maybe_expire()
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
             pool.shutdown(wait=True, cancel_futures=True)
@@ -923,8 +1021,8 @@ class ReplayEngine:
     ) -> dict:
         t0 = time.monotonic()
         snap = self.table.current_snapshot()
-        applied = list(snap.properties.get("applied_batches", []))
-        if batch_id in applied:
+        applied_wm, applied = _applied_state(snap.properties)
+        if _is_applied(applied_wm, applied, batch_id):
             return {"batch_id": batch_id, "skipped": True}
 
         batch = changelog.filter(F.col("batch_id") == batch_id)
@@ -945,19 +1043,32 @@ class ReplayEngine:
         # commit and the batch's data commit leaves the op durably marked
         # applied, so resume re-runs the batch without re-applying the op
         # (re-applying add/rename would raise and wedge the pipeline).
+        #
+        # The list is BOUNDED: an op is applied by the same replay step
+        # that fences past its offset, so the data fence doubles as the
+        # ops watermark — offsets at/below ``fence_offset`` are treated
+        # as applied (their WAL region is already replayed; late-arriving
+        # DDL for a fenced region cannot be correctly interleaved anymore)
+        # and are dropped from the stored list at each commit. Only the
+        # current batch's ops survive in properties — exactly the crash
+        # window between an evolution commit and its data commit.
         n_ops = 0
         if schema_ops is not None:
             applied_ops = set(snap.properties.get("applied_schema_ops", []))
             pending = [
                 r
                 for r in schema_ops.filter(F.col("offset") <= hi).orderBy("offset").collect()
-                if r["offset"] not in applied_ops
+                if r["offset"] > fence and r["offset"] not in applied_ops
             ]
             for r in pending:
                 applied_ops.add(r["offset"])
                 apply_evolution_op(
                     self.table, r["kind"], r["column"], r["detail"],
-                    properties_update={"applied_schema_ops": sorted(applied_ops)},
+                    properties_update={
+                        "applied_schema_ops": sorted(
+                            o for o in applied_ops if o > fence
+                        )
+                    },
                 )
                 n_ops += 1
             if n_ops:
@@ -966,10 +1077,13 @@ class ReplayEngine:
         else:
             snap_props_ops = list(snap.properties.get("applied_schema_ops", []))
 
+        new_fence = max(fence, int(hi))
+        new_wm, new_residual = _compact_applied(applied_wm, applied + [batch_id])
         props = {
-            "applied_batches": applied + [batch_id],
-            "applied_schema_ops": snap_props_ops,
-            "fence_offset": max(fence, int(hi)),
+            "applied_batches": new_residual,
+            "applied_batches_watermark": new_wm,
+            "applied_schema_ops": [o for o in snap_props_ops if o > new_fence],
+            "fence_offset": new_fence,
         }
         _, counters = merge_batch(
             self.table, batch, batch_id, props, mode=self.mode,
@@ -997,5 +1111,7 @@ class ReplayEngine:
             n_ops,
             duration_ms,
         )
+        self._commits_since_expire += 1
+        self._maybe_expire()
         return {"batch_id": batch_id, "skipped": False, "schema_ops": n_ops,
                 "duration_ms": duration_ms, **counters}

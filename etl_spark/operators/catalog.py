@@ -38,8 +38,11 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     # --- joins ---
     "join_star_revenue": (R.join_star_revenue, R.JOIN_STAR_REVENUE_SQL),
     "join_left_with_missing": (R.join_left_with_missing, R.JOIN_LEFT_WITH_MISSING_SQL),
-    "join_semi": (R.join_semi, R.JOIN_SEMI_SQL),
-    "join_anti": (R.join_anti, R.JOIN_ANTI_SQL),
+    # semi + anti consolidated into one two-join entry (standalone
+    # join_semi / join_anti remain library functions) — frees a catalog
+    # slot for boilerplate_line_dedup while keeping exactly 50 entries
+    # inside the driver's CORRECTNESS window
+    "join_semi_anti": (R.join_semi_anti, R.JOIN_SEMI_ANTI_SQL),
     "join_asof": (R.join_asof, R.JOIN_ASOF_SQL),
     "period_backfill": (R.period_backfill, R.PERIOD_BACKFILL_SQL),
     "positional_join": (R.positional_join, R.POSITIONAL_JOIN_SQL),
@@ -77,6 +80,8 @@ CATALOG: dict[str, tuple[Builder, str | None]] = {
     "near_dup_clusters": (D.near_dup_clusters, D.NEAR_DUP_CLUSTERS_SQL),
     "dedup_keep_canonical": (D.dedup_keep_canonical, D.DEDUP_KEEP_CANONICAL_SQL),
     "simhash_fingerprints": (D.simhash_fingerprints, D.SIMHASH_SQL),
+    # sub-document dedup: corpus-frequent line removal (round-5 addition)
+    "boilerplate_line_dedup": (D.boilerplate_line_dedup, D.BOILERPLATE_LINE_DEDUP_SQL),
     # --- similarity search ---
     "cosine_topk": (S.cosine_topk, S.COSINE_TOPK_SQL),
     "lsh_ann_buckets": (S.lsh_ann_buckets, S.LSH_ANN_SQL),

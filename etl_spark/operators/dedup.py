@@ -451,3 +451,107 @@ SELECT cluster_id AS doc_id, COUNT(*) AS cluster_size
 FROM labeled
 GROUP BY cluster_id
 """
+
+
+# line document-frequency above which a line is corpus boilerplate
+# (headers, navbars, license blocks — repeated across many documents)
+BOILERPLATE_MAX_DF = 10
+
+# The synthetic documents table carries newline-free text, so the entry
+# composes a deterministic line-structured page per document (shared
+# nav + footer lines, a per-source header, the unique body) before
+# stripping — the algorithm under test is the strip, and the page
+# construction is mirrored verbatim in the oracle.
+_PAGE_NAV = "home | products | docs | contact"
+_PAGE_FOOTER = "(c) example corp - all rights reserved"
+
+
+def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sub-document dedup: strip lines that repeat across more than
+    ``BOILERPLATE_MAX_DF`` documents (the paragraph/line-level
+    boilerplate-removal stage of a training-data pipeline — real corpora
+    shed repeated headers, navigation bars, and license blocks that
+    doc-level dedup cannot touch).
+
+    Scale shape (100 TB-safe): ``posexplode`` lines -> one map-side-
+    combined distinct-doc count per normalized line (shuffles line
+    hashes, never documents) -> left-anti join of lines against the
+    boilerplate set, bucketed by line hash -> per-document reassembly
+    via one groupBy ordered by line position. No all-pairs stage, no
+    driver-side loop; every shuffle key is a line hash or doc_id.
+    """
+    docs = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat_ws(
+            "\n",
+            F.lit(_PAGE_NAV),
+            F.concat(F.lit("section: "), F.col("source")),
+            F.col("text"),
+            F.lit(_PAGE_FOOTER),
+        ).alias("page"),
+    )
+    lines = docs.select(
+        "doc_id", F.posexplode(F.split("page", "\n")).alias("pos", "line")
+    ).withColumn("norm", F.trim("line"))
+    boiler = (
+        lines.where(F.length("norm") > 0)
+        .groupBy("norm")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .where(F.col("df") > BOILERPLATE_MAX_DF)
+        .select("norm")
+    )
+    kept = lines.join(boiler, "norm", "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            "\n",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "line"))),
+                lambda s: s["line"],
+            ),
+        ).alias("content_clean"),
+        F.count(F.lit(1)).alias("lines_kept"),
+    )
+    # total over documents: a fully-boilerplate page must still come back
+    # (empty), not vanish from the corpus
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("content_clean", F.lit("")).alias("content_clean"),
+        F.coalesce("lines_kept", F.lit(0).cast("long")).alias("lines_kept"),
+    )
+
+
+BOILERPLATE_LINE_DEDUP_SQL = f"""
+WITH pages AS (
+  SELECT doc_id,
+         '{_PAGE_NAV}' || chr(10) ||
+         'section: ' || source || chr(10) ||
+         text || chr(10) ||
+         '{_PAGE_FOOTER}' AS page
+  FROM documents
+),
+lines AS (
+  SELECT doc_id,
+         generate_subscripts(string_split(page, chr(10)), 1) AS pos,
+         unnest(string_split(page, chr(10))) AS line
+  FROM pages
+),
+norm AS (SELECT doc_id, pos, line, trim(line) AS norm FROM lines),
+boiler AS (
+  SELECT norm FROM norm WHERE length(norm) > 0
+  GROUP BY norm HAVING COUNT(DISTINCT doc_id) > {BOILERPLATE_MAX_DF}
+),
+kept AS (
+  SELECT n.doc_id, n.pos, n.line
+  FROM norm n ANTI JOIN boiler b ON n.norm = b.norm
+),
+rebuilt AS (
+  SELECT doc_id,
+         string_agg(line, chr(10) ORDER BY pos) AS content_clean,
+         COUNT(*) AS lines_kept
+  FROM kept GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(r.content_clean, '') AS content_clean,
+       COALESCE(r.lines_kept, 0) AS lines_kept
+FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+"""

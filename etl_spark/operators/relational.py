@@ -187,6 +187,38 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 """
 
 
+def join_semi_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi + left-anti in one driver entry (J5+J6 consolidated so
+    the catalog stays inside the driver's 50-entry CORRECTNESS window;
+    ``join_semi`` / ``join_anti`` remain as standalone library
+    functions). Customers active since 1997 via a semi join, customers
+    dormant since mid-1998 via an anti join, unioned with a status tag
+    — both join strategies appear in the one physical plan."""
+    c, o = t(spark, sf_dir, "customer"), t(spark, sf_dir, "orders")
+    recent = o.filter(F.col("o_orderdate") >= F.lit("1997-01-01"))
+    dormant_cut = o.filter(F.col("o_orderdate") >= F.lit("1998-06-01"))
+    active = c.join(recent, c.c_custkey == recent.o_custkey, "left_semi").select(
+        "c_custkey", "c_name", F.lit("active").alias("status")
+    )
+    dormant = c.join(
+        dormant_cut, c.c_custkey == dormant_cut.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name", F.lit("dormant").alias("status"))
+    return active.unionByName(dormant)
+
+
+JOIN_SEMI_ANTI_SQL = """
+SELECT c_custkey, c_name, 'active' AS status
+FROM customer c
+WHERE EXISTS (SELECT 1 FROM orders o
+              WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '1997-01-01')
+UNION ALL
+SELECT c_custkey, c_name, 'dormant' AS status
+FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderdate >= DATE '1998-06-01')
+"""
+
+
 def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of / temporal join (reference J8/C4: latest effective record at or
     before a point in time, ``src/delta_client.py:136-147``,
