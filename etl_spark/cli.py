@@ -66,6 +66,18 @@ def _build_parser() -> argparse.ArgumentParser:
             "lookups skip row groups — disable only if compaction CPU "
             "is the bottleneck)",
         )
+        sp.add_argument(
+            "--expire-every", type=int,
+            help="auto-retention: every N applied batches, expire old "
+            "snapshots down to --expire-keep-last (+ manifest-shard GC "
+            "+ orphan-data vacuum) at a pipeline-drained point; unset = "
+            "manual retention via the 'expire' command only",
+        )
+        sp.add_argument(
+            "--expire-keep-last", type=int, default=5,
+            help="snapshots retained by --expire-every (time travel stays "
+            "available for these)",
+        )
 
     g = sub.add_parser("generate", help="write a synthetic changelog")
     g.add_argument("--out", required=True)
@@ -221,6 +233,8 @@ def main(argv: list[str] | None = None) -> int:
         tombstone_commit_watermark=args.tombstone_watermark,
         compact_delta_fraction=args.compact_delta_fraction,
         compact_sort=args.compact_sort,
+        expire_every=args.expire_every,
+        expire_keep_last=args.expire_keep_last,
     )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)

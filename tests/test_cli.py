@@ -63,7 +63,8 @@ def test_cli_flags_reach_engine(spark, capsys, cli_dirs, monkeypatch):
     rc = main(["replay", "--changelog", wal, "--table", str(root / "t2"),
                "--mode", "mor", "--lww-strategy", "agg",
                "--compact-threshold", "5", "--tombstone-watermark", "c123",
-               "--compact-delta-fraction", "0.3", "--no-compact-sort"])
+               "--compact-delta-fraction", "0.3", "--no-compact-sort",
+               "--expire-every", "2", "--expire-keep-last", "3"])
     assert rc == 0
     capsys.readouterr()
     assert seen["lww_strategy"] == "agg"
@@ -71,6 +72,8 @@ def test_cli_flags_reach_engine(spark, capsys, cli_dirs, monkeypatch):
     assert seen["tombstone_commit_watermark"] == "c123"
     assert seen["compact_delta_fraction"] == 0.3
     assert seen["compact_sort"] is False
+    assert seen["expire_every"] == 2
+    assert seen["expire_keep_last"] == 3
 
 
 def test_cli_lookup_and_chain(spark, capsys, cli_dirs):
