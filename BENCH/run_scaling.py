@@ -169,6 +169,11 @@ def main() -> None:
     best_i = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
     lo, hi = lo_runs[best_i], hi_runs[best_i]
     eff = pair_effs[best_i]
+    srt = sorted(pair_effs)
+    mid = len(srt) // 2
+    eff_median = round(
+        srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
+    )
 
     result = {
         "metric": "cdc_replay_scaling_efficiency",
@@ -180,6 +185,7 @@ def main() -> None:
         f"local[{args.high}]": hi,
         "speedup": round(hi["events_per_sec"] / lo["events_per_sec"], 3),
         "efficiency": round(eff, 3),
+        "efficiency_median": eff_median,
         "target": 0.8,
         "pass": eff >= 0.8,
         "repeats": args.repeats,
@@ -206,7 +212,8 @@ parallelism level:
 | local[{args.high}] | {hi["wall_sec"]} | {hi["events_per_sec"]} |
 
 Speedup {result["speedup"]}x over a {ratio:.0f}x core increase ->
-**scaling efficiency {result["efficiency"]}** (target >= 0.8:
+**scaling efficiency {result["efficiency"]} (best pair) /
+{eff_median} (median pair)** (target >= 0.8 on best:
 {"PASS" if result["pass"] else "MISS"}). Final rows: {hi["final_rows"]:,}
 (identical at both levels: {lo["final_rows"] == hi["final_rows"]}).
 Pairing: best complete same-window pair of {args.repeats} interleaved
