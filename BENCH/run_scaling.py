@@ -166,10 +166,25 @@ def main() -> None:
         round((h["events_per_sec"] / l["events_per_sec"]) / ratio, 3)
         for l, h in zip(lo_runs, hi_runs)
     ]
-    best_i = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
+    # Validity ceiling: this job has no per-core cache effect that could
+    # make 4x cores more than 4x fast, so a pair efficiency above ~1.0
+    # is not scaling — it means the LOW leg of that window was crushed
+    # by co-tenant noise (observed: a local[2] leg at half its usual
+    # throughput turned a pair into "1.599 efficiency"). Such pairs are
+    # reported but excluded from the headline; a harness that can PASS
+    # on noise is worse than one that reads low. 1.05 allows honest
+    # measurement jitter, nothing more.
+    EFF_VALID_MAX = 1.05
+    valid_is = [i for i, e in enumerate(pair_effs) if e <= EFF_VALID_MAX]
+    invalid_effs = [e for e in pair_effs if e > EFF_VALID_MAX]
+    if not valid_is:
+        raise RuntimeError(
+            f"every pair superlinear ({pair_effs}) — window unusable, re-run"
+        )
+    best_i = max(valid_is, key=lambda i: pair_effs[i])
     lo, hi = lo_runs[best_i], hi_runs[best_i]
     eff = pair_effs[best_i]
-    srt = sorted(pair_effs)
+    srt = sorted(pair_effs[i] for i in valid_is)
     mid = len(srt) // 2
     eff_median = round(
         srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
@@ -191,6 +206,7 @@ def main() -> None:
         "repeats": args.repeats,
         "pairing": "same-window (best complete low+high pair of N interleaved repeats)",
         "all_pair_effs": pair_effs,
+        "invalid_superlinear_pairs": invalid_effs,
         "all_low_eps": [r["events_per_sec"] for r in lo_runs],
         "all_high_eps": [r["events_per_sec"] for r in hi_runs],
     }
@@ -218,7 +234,10 @@ Speedup {result["speedup"]}x over a {ratio:.0f}x core increase ->
 (identical at both levels: {lo["final_rows"] == hi["final_rows"]}).
 Pairing: best complete same-window pair of {args.repeats} interleaved
 repeats (each repeat runs low then high back-to-back under one
-host-noise window); all pair efficiencies: {pair_effs}.
+host-noise window); all pair efficiencies: {pair_effs}.{"" if not invalid_effs else f'''
+Superlinear pairs {invalid_effs} were EXCLUDED from the headline:
+efficiency > 1.05 on this workload can only mean the low leg was
+noise-crushed, so those windows measure the co-tenants, not scaling.'''}
 """
     header = (
         "# BENCH baseline — CDC replay throughput & scaling\n\n"
