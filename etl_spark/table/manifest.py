@@ -51,8 +51,7 @@ document bytes (~90 B/bucket; ~9 MB per commit at 10^5 buckets). True
 O(touched) for the document too would need manifest-list-style sharding
 of the ref table itself; at the bucket counts this engine targets the
 document term is noise next to the shard bytes, so it is deliberately
-kept flat. ``expire_snapshots``
-``expire_snapshots`` garbage-collects shards referenced by no surviving
+kept flat. ``expire_snapshots`` garbage-collects shards referenced by no surviving
 snapshot. Format v2 snapshots (entries embedded) remain readable.
 
 Reference analogs: keyed mutable store / check-then-insert upsert

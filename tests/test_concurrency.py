@@ -316,3 +316,69 @@ def test_evolve_rebases_on_conflict(spark, table, monkeypatch):
     assert "extra" in snap.schema.names()
     # the concurrent append's rows were carried into the evolved snapshot
     assert {r["v"] for r in table.read().collect()} >= set(range(5000, 5010))
+
+
+def test_isolated_engines_replay_concurrently_without_conf_leak(spark, tmp_path):
+    """The documented multi-engine recipe (merge.py bracket comment):
+    give each ReplayEngine a dedicated ``spark.newSession()`` and build
+    its changelog FROM that session, and the per-batch
+    ``spark.sql.shuffle.partitions`` brackets stay private to each
+    engine — the parent session's conf never moves while two replays
+    with DIFFERENT bucket counts run concurrently, both final states
+    match the oracle, and each engine session's conf is restored."""
+    import threading
+    import time
+
+    from etl_spark.cdc.changelog import generate_changelog
+    from etl_spark.cdc.replay import ReplayEngine
+    from tests.oracle import apply_log_oracle
+
+    key = "spark.sql.shuffle.partitions"
+    parent_sp = spark.conf.get(key)
+    s1, s2 = spark.newSession(), spark.newSession()
+    sp1, sp2 = s1.conf.get(key), s2.conf.get(key)
+    # changelogs bound to each engine's own session: every frame in the
+    # batch path (and thus the conf bracket) sees that session only
+    log1 = generate_changelog(s1, 2000, seed=42, n_repos=5, paths_per_repo=20, num_batches=4)
+    log2 = generate_changelog(s2, 2000, seed=7, n_repos=5, paths_per_repo=20, num_batches=4)
+    log1.cache().count(), log2.cache().count()
+    e1 = ReplayEngine(s1, str(tmp_path / "t1"), num_buckets=4, mode="mor")
+    e2 = ReplayEngine(s2, str(tmp_path / "t2"), num_buckets=8, mode="mor")
+
+    errs: list = []
+
+    def run(engine, log):
+        try:
+            engine.replay(log)
+        except BaseException as e:  # surfaced after join
+            errs.append(e)
+
+    t1 = threading.Thread(target=run, args=(e1, log1))
+    t2 = threading.Thread(target=run, args=(e2, log2))
+    t1.start(), t2.start()
+    leaked: list = []
+    while t1.is_alive() or t2.is_alive():
+        got = spark.conf.get(key)
+        if got != parent_sp:
+            leaked.append(got)
+        time.sleep(0.02)
+    t1.join(), t2.join()
+    assert not errs, errs
+    assert not leaked, f"parent session conf moved during replay: {leaked}"
+    assert spark.conf.get(key) == parent_sp
+    # each engine's bracket restored its own session
+    assert s1.conf.get(key) == sp1 and s2.conf.get(key) == sp2
+
+    def state(engine):
+        return (
+            engine.read_state()
+            .select("repo", "path", "commit", "lang", "content", "content_sha256")
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    import pandas as pd
+
+    pd.testing.assert_frame_equal(state(e1), apply_log_oracle(log1.toPandas()))
+    pd.testing.assert_frame_equal(state(e2), apply_log_oracle(log2.toPandas()))
