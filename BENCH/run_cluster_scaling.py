@@ -461,14 +461,14 @@ def main() -> None:
         round((h["events_per_sec"] / l["events_per_sec"]) / 4, 3)
         for l, h in zip(lo_runs, hi_runs)
     ]
-    best_i = max(range(len(pair_effs)), key=lambda i: pair_effs[i])
+    # same rejection rule as run_scaling.py: a superlinear pair means
+    # the 1-executor leg was noise-crushed — it must never become the
+    # headline or count toward the median (raises if NO pair is valid)
+    from run_scaling import select_headline
+
+    best_i, eff_median, invalid_effs = select_headline(pair_effs)
     lo, hi = lo_runs[best_i], hi_runs[best_i]
     eff = pair_effs[best_i]
-    srt = sorted(pair_effs)
-    mid = len(srt) // 2
-    eff_median = round(
-        srt[mid] if len(srt) % 2 else (srt[mid - 1] + srt[mid]) / 2, 3
-    )
     result = {
         "metric": "cdc_replay_executor_scaling_efficiency",
         "cluster": "standalone, 4 workers x 2 pinned cores (balanced pairs)",
@@ -484,6 +484,7 @@ def main() -> None:
         "efficiency_vs_bw_ceiling": round(eff / ceil["bw_ceiling"], 3),
         "pairing": "same-window (best complete pair of interleaved repeats)",
         "all_pair_effs": pair_effs,
+        "invalid_superlinear_pairs": invalid_effs,
         "all_exec1_eps": [r["events_per_sec"] for r in lo_runs],
         "all_exec4_eps": [r["events_per_sec"] for r in hi_runs],
         "control": control,

@@ -336,8 +336,14 @@ def merge_batch(
         old_sp = sess.conf.get("spark.sql.shuffle.partitions")
         sess.conf.set("spark.sql.shuffle.partitions", str(snap.num_buckets))
         stats_thread = threading.Thread(target=_collect_stats, daemon=True)
-        stats_thread.start()
+        stats_started = False
         try:
+            # start() inside the bracket's try: if it raises (thread
+            # exhaustion), the finally must still restore the conf —
+            # start() sits after the conf override, so leaving it outside
+            # would pin shuffle.partitions for the session lifetime.
+            stats_thread.start()
+            stats_started = True
             t_planned = time.monotonic()
             written = table.write_delta_files(
                 delta, snap, post_shuffle=with_content_sha256
@@ -350,8 +356,10 @@ def merge_batch(
             # the whole-batch bracket exists to eliminate (and a live
             # thread would leak into the next batch on engines that catch
             # and continue). The stats job is a bounded metadata collect,
-            # so an untimed join is safe.
-            stats_thread.join()
+            # so an untimed join is safe. (join() on a never-started
+            # thread raises, hence the flag.)
+            if stats_started:
+                stats_thread.join()
             sess.conf.set("spark.sql.shuffle.partitions", old_sp)
         if "err" in stats_holder:
             raise stats_holder["err"]

@@ -217,6 +217,8 @@ def main(argv: list[str] | None = None) -> int:
             tombstone_commit_watermark=args.tombstone_watermark,
             compact_delta_fraction=args.compact_delta_fraction,
             compact_sort=args.compact_sort,
+            expire_every=args.expire_every,
+            expire_keep_last=args.expire_keep_last,
         )
         print(json.dumps({
             "applied": [r["batch_id"] for r in results if not r.get("skipped")],
@@ -258,6 +260,8 @@ def main(argv: list[str] | None = None) -> int:
             tombstone_commit_watermark=args.tombstone_watermark,
             compact_delta_fraction=args.compact_delta_fraction,
             compact_sort=args.compact_sort,
+            expire_every=args.expire_every,
+            expire_keep_last=args.expire_keep_last,
         )
         print(json.dumps({"fence_offset": engine.fence_offset(),
                           "applied_batches": engine.applied_batches()}))

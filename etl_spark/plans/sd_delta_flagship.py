@@ -99,6 +99,8 @@ def run_sd_delta_flagship(
     tombstone_commit_watermark: str | None = None,
     compact_delta_fraction: float | None = None,
     compact_sort: bool = True,
+    expire_every: int | None = None,
+    expire_keep_last: int = 5,
 ) -> tuple[ReplayEngine, list[dict]]:
     """The full flagship chain; returns (engine, per-batch results).
     Final state via ``engine.read_state()``, run metrics via
@@ -114,6 +116,7 @@ def run_sd_delta_flagship(
         tombstone_commit_watermark=tombstone_commit_watermark,
         compact_delta_fraction=compact_delta_fraction,
         compact_sort=compact_sort,
+        expire_every=expire_every, expire_keep_last=expire_keep_last,
     )
     results = engine.replay(
         prepared,

@@ -43,16 +43,26 @@ def stream_replay(
     tombstone_commit_watermark: str | None = None,
     compact_delta_fraction: float | None = None,
     compact_sort: bool = True,
+    expire_every: int | None = None,
+    expire_keep_last: int = 5,
 ) -> ReplayEngine:
     """Tail ``changelog_dir`` (parquet WAL files) into the lake table.
     Blocks until the available backlog is drained; returns the engine for
-    state/metrics inspection."""
+    state/metrics inspection.
+
+    ``expire_every`` / ``expire_keep_last``: auto-retention (see
+    ``ReplayEngine``) — the knob MATTERS here: an unbounded stream is
+    exactly the one-snapshot-per-micro-batch accumulation case. Safe in
+    this loop because ``foreachBatch`` applies logical batches
+    sequentially via ``apply_batch`` (every commit point is
+    pipeline-drained by construction)."""
     engine = ReplayEngine(
         spark, table_root, num_buckets=num_buckets, mode=mode,
         compact_threshold=compact_threshold, lww_strategy=lww_strategy,
         tombstone_commit_watermark=tombstone_commit_watermark,
         compact_delta_fraction=compact_delta_fraction,
         compact_sort=compact_sort,
+        expire_every=expire_every, expire_keep_last=expire_keep_last,
     )
 
     reader = spark.readStream.schema(CHANGE_LOG_SCHEMA)
