@@ -531,7 +531,13 @@ class ReplayEngine:
         # see the same table version, so a concurrent commit anywhere in
         # between raises CommitConflictError instead of being erased
         snap0 = self.table.current_snapshot()
-        buckets = [b for b, es in snap0.files.items() if len(es) >= min_files]
+        # entry COUNTS come from the manifest's per-bucket summaries
+        # (group files), never from shard hydration — this eligibility
+        # walk runs after every replay batch
+        buckets = [
+            b for b in snap0.files
+            if self.table._bucket_stat(snap0, b, "n", len) >= min_files
+        ]
         if min_delta_fraction is None:
             min_delta_fraction = self.compact_delta_fraction
         # one sizing walk serves BOTH eligibility and fan-out (total =

@@ -36,23 +36,24 @@ pointer swap + snapshot properties + schema evolution by column id):
   (reference analog: skip-if-already-applied checks,
   ``src/byggesager/byggesager.py:191-197``).
 
-Metadata scale (format v3, the Iceberg manifest-list analog): the
-per-bucket entry lists live in immutable CONTENT-ADDRESSED shard files
-(``_snapshots/manifests/m-<sha>.json``); the snapshot JSON holds one
-shard reference per non-empty bucket. A commit therefore writes the
-small snapshot document plus new shards for the TOUCHED buckets only —
-untouched buckets' shards (with their per-column stats, the dominant
-bytes) are shared by reference across snapshots, exactly how Iceberg
-shares unchanged manifests through the manifest list. Precisely: a
-delta commit writes O(touched buckets) shard bytes (the per-column
-stats, dominant) plus a snapshot document that still carries one small
-constant-size ref+summary object per non-empty bucket — O(num_buckets)
-document bytes (~90 B/bucket; ~9 MB per commit at 10^5 buckets). True
-O(touched) for the document too would need manifest-list-style sharding
-of the ref table itself; at the bucket counts this engine targets the
-document term is noise next to the shard bytes, so it is deliberately
-kept flat. ``expire_snapshots`` garbage-collects shards referenced by no surviving
-snapshot. Format v2 snapshots (entries embedded) remain readable.
+Metadata scale (format v4, the Iceberg manifest-list analog, two
+levels): the per-bucket entry lists live in immutable CONTENT-ADDRESSED
+shard files (``_snapshots/manifests/m-<sha>.json``); the bucket→shard
+ref table itself is sharded into content-addressed GROUP files
+(``g-<sha>.json``), ``GROUP_SIZE`` consecutive buckets per group, each
+carrying the buckets' shard refs + summary stats; the snapshot JSON
+holds one reference per GROUP. A commit therefore writes: new shards
+for the TOUCHED buckets (the per-column stats, dominant), new group
+files for the touched buckets' GROUPS only, and a snapshot document of
+O(num_buckets / GROUP_SIZE) group refs. Untouched buckets' shards AND
+untouched groups' ref tables are shared by reference across snapshots,
+exactly how Iceberg shares unchanged manifests through the manifest
+list — this removes the last O(num_buckets)-per-commit metadata term
+(format v3 kept the ref table flat in the document: ~90 B/bucket, ~9 MB
+per commit at 10^5 buckets; v4 writes ~30 B/group ≈ 47 KB document +
+~6 KB per touched group). ``expire_snapshots`` garbage-collects shards
+and group files referenced by no surviving snapshot. Format v3
+(flat ref table) and v2 (entries embedded) snapshots remain readable.
 
 Reference analogs: keyed mutable store / check-then-insert upsert
 (``src/capa/capa_data.py:9-24,54-72``), partition-overwrite upsert
@@ -86,11 +87,21 @@ RECORD_STATS = os.environ.get("ETL_SPARK_RECORD_STATS", "1") != "0"
 # duplicate rows for a key in two buckets, no error) — so mismatches on
 # attach raise instead.
 BUCKET_FN = "murmur3_pmod"
-# v3 = per-bucket entry lists in content-addressed manifest shards
-# referenced from the snapshot (Iceberg manifest-list analog); v2 =
-# entries embedded in the snapshot JSON (still readable); v1 = v2
-# without bucket_fn/format_version fields.
-FORMAT_VERSION = 3
+# v4 = v3 plus the bucket->shard ref table sharded into content-
+# addressed GROUP files so the snapshot document is O(buckets /
+# GROUP_SIZE), not O(buckets); v3 = per-bucket entry lists in
+# content-addressed manifest shards referenced flat from the snapshot
+# (Iceberg manifest-list analog; still readable); v2 = entries embedded
+# in the snapshot JSON (still readable); v1 = v2 without
+# bucket_fn/format_version fields.
+FORMAT_VERSION = 4
+
+# Buckets per manifest-list group file. Commit metadata ~ 30 B *
+# num_buckets/GROUP_SIZE (document) + touched_groups * 90 B * GROUP_SIZE
+# (rewritten group files); 64 balances the two terms at the 10^4-10^5
+# bucket layouts a 100 TB table runs (minimizes doc + touched cost for
+# ~10-touched-bucket commits at 10^5 buckets).
+GROUP_SIZE = 64
 
 # Bounded rebase attempts for commits that can safely retry after a
 # concurrent commit claimed their snapshot version (appends always can;
@@ -161,12 +172,17 @@ class Snapshot:
     format_version: int = FORMAT_VERSION
 
     def to_json(self, manifest_dir: str | None = None) -> str:
-        """Serialize. With ``manifest_dir`` (format v3), each bucket's
+        """Serialize. With ``manifest_dir`` (format v4), each bucket's
         entry list is written to an immutable content-addressed shard
         file there (skipped when the identical shard already exists —
-        untouched buckets cost ZERO metadata bytes per commit) and the
-        snapshot document carries only the shard references. Without it,
-        entries are embedded (v2 form, kept for tooling/tests)."""
+        untouched buckets cost ZERO metadata bytes per commit); the
+        bucket->shard ref table is itself sharded into content-addressed
+        GROUP files of ``GROUP_SIZE`` buckets, and the snapshot document
+        carries only the group references — groups with no touched
+        bucket reuse the parent's group file verbatim, so commit
+        document+ref bytes are O(touched groups + num_groups), never
+        O(num_buckets). Without ``manifest_dir``, entries are embedded
+        (v2 form, kept for tooling/tests)."""
         d = {
             "version": self.version,
             "current_schema_version": self.current_schema_version,
@@ -180,27 +196,57 @@ class Snapshot:
             d["files"] = {str(b): list(fs) for b, fs in self.files.items()}
         else:
             fm = self.files if isinstance(self.files, ShardedFileMap) else None
-            refs = {}
-            for b in self.files:
+            gsize = (fm.group_size if fm is not None else None) or GROUP_SIZE
+            # clean groups: no touched bucket — reuse the group file key
+            # without hydrating it (or any of its shards)
+            groups = dict(fm.group_keys()) if fm is not None else {}
+            # every bucket NOT covered by a clean group gets its ref
+            # (re)built; shard keys of untouched buckets inside dirty
+            # groups are reused without hydration
+            rebuild: dict[int, dict] = {}
+            candidates = (
+                fm.buckets_outside_groups(set(groups))
+                if fm is not None else list(self.files)
+            )
+            for b in candidates:
                 key = fm.ref_for(b) if fm is not None else None
                 if key is not None:
                     # untouched bucket: reuse the shard ref AND its
                     # stored summary (never hydrated here)
                     meta = fm._meta.get(b)
-                    refs[str(b)] = {"k": key, **meta} if meta else key
+                    refobj = {"k": key, **meta} if meta else key
                 else:
                     entries = self.files[b]
-                    refs[str(b)] = {
+                    refobj = {
                         "k": _write_manifest_shard(manifest_dir, entries),
                         **_shard_meta(entries),
                     }
-            d["files_ref"] = refs
+                rebuild.setdefault(b // gsize, {})[str(b)] = refobj
+            for g, contents in rebuild.items():
+                groups[g] = _write_group_file(manifest_dir, contents)
+            d["groups_ref"] = {str(g): k for g, k in sorted(groups.items())}
+            d["group_size"] = gsize
         return json.dumps(d, indent=1)
 
     @staticmethod
     def from_json(text: str, manifest_dir: str | None = None) -> "Snapshot":
         d = json.loads(text)
-        if "files_ref" in d:
+        if "groups_ref" in d:
+            if manifest_dir is None:
+                raise ValueError(
+                    "format v4 snapshot references manifest groups/shards; "
+                    "pass the table's manifest directory to from_json"
+                )
+            # doubly lazy: a bucket's shard REF parses from its group
+            # file on first access, its entries from the shard on first
+            # access — point paths touch O(accessed) group+shard files,
+            # not the table
+            files = ShardedFileMap(
+                {}, manifest_dir,
+                group_keys={int(g): k for g, k in d["groups_ref"].items()},
+                group_size=int(d["group_size"]),
+            )
+        elif "files_ref" in d:
             if manifest_dir is None:
                 raise ValueError(
                     "format v3 snapshot references manifest shards; pass the "
@@ -272,77 +318,191 @@ def _read_manifest_shard(manifest_dir: str, key: str) -> list[dict]:
         return json.load(f)
 
 
+def _write_group_file(manifest_dir: str, contents: dict) -> str:
+    """Content-addressed manifest-list group: ``{bucket: shard-ref}``
+    for one ``GROUP_SIZE``-aligned run of buckets. Identical groups —
+    the untouched-group case — share one file across snapshots."""
+    canon = json.dumps(contents, sort_keys=True, separators=(",", ":"))
+    key = hashlib.sha256(canon.encode("utf-8")).hexdigest()[:20]
+    path = os.path.join(manifest_dir, f"g-{key}.json")
+    if not os.path.exists(path):
+        os.makedirs(manifest_dir, exist_ok=True)
+        tmp = path + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            f.write(canon)
+        # content-addressed: a concurrent writer of the same key wrote
+        # identical bytes, so last-replace-wins is safe
+        os.replace(tmp, path)
+    return key
+
+
+def _read_group_file(manifest_dir: str, key: str) -> dict:
+    with open(os.path.join(manifest_dir, f"g-{key}.json")) as f:
+        return json.load(f)
+
+
 from collections.abc import Mapping  # noqa: E402  (used by ShardedFileMap)
 
 
 class ShardedFileMap(Mapping):
-    """Lazy ``{bucket: [entry, ...]}`` view over manifest shards.
+    """Lazy ``{bucket: [entry, ...]}`` view over manifest groups+shards.
 
-    Keys (the non-empty buckets) are known eagerly from the snapshot
-    document; a bucket's entry list hydrates from its shard file on
-    first access and is cached. Point paths (lookup, bucket-pruned
-    reads, per-bucket conflict checks) therefore parse O(touched)
-    shards instead of the whole table; whole-table iterations hydrate
-    everything, which is the parse they inherently need.
+    Two lazy levels (format v4): the snapshot document carries GROUP
+    references; a group file carries its buckets' shard refs + summary
+    stats; a shard carries one bucket's entry list. A bucket's shard
+    REF hydrates from its group file on first access, its ENTRIES from
+    the shard on first access, both cached. Point paths (lookup,
+    bucket-pruned reads, per-bucket conflict checks) therefore parse
+    O(touched) group+shard files instead of the whole table;
+    whole-table iterations hydrate every group (O(buckets/GROUP_SIZE)
+    small files), and only entry access reads shards. Format-v3 maps
+    (flat ref table, no groups) use the same class with eager refs.
 
     Immutable from the outside — structural changes go through
     ``updated``, which shares the untouched buckets' SHARD REFERENCES
-    with the parent, so re-serializing a derived snapshot rewrites only
-    the changed buckets' shards (and a pure-metadata commit, e.g. DDL
-    or rollback, rewrites none)."""
+    and the untouched groups' GROUP FILES with the parent, so
+    re-serializing a derived snapshot rewrites only the changed
+    buckets' shards and their groups' ref tables (and a pure-metadata
+    commit, e.g. DDL or rollback, rewrites none)."""
 
     def __init__(self, refs: dict[int, str], manifest_dir: str,
                  overrides: dict[int, list] | None = None,
-                 meta: dict[int, dict] | None = None):
+                 meta: dict[int, dict] | None = None,
+                 group_keys: dict[int, str] | None = None,
+                 group_size: int | None = None):
         self._refs = dict(refs)
         self._dir = manifest_dir
         self._cache: dict[int, list] = {}
         self._over = dict(overrides or {})
-        # per-bucket summary stats from the snapshot document (may be
-        # absent for refs written before stats, or partial for legacy
-        # entries) — lets sizing read n/d/by/dby/r without hydration
+        # per-bucket summary stats from the group file (may be absent
+        # for refs written before stats, or partial for legacy entries)
+        # — lets sizing read n/d/by/dby/r without shard hydration
         self._meta = dict(meta or {})
+        # CLEAN groups (no touched bucket): group id -> group-file key.
+        # Serialization reuses these verbatim; _gpend tracks which are
+        # not yet hydrated into _refs/_meta.
+        self._gkeys = dict(group_keys or {})
+        self._gsize = group_size
+        self._gpend = set(self._gkeys)
+
+    @property
+    def group_size(self) -> int | None:
+        return self._gsize
+
+    def group_keys(self) -> dict[int, str]:
+        """{group: group-file key} for CLEAN groups (every bucket
+        untouched since the group file was written)."""
+        return dict(self._gkeys)
+
+    def _hydrate_group(self, g: int) -> None:
+        if g not in self._gpend:
+            return
+        for bs, v in _read_group_file(self._dir, self._gkeys[g]).items():
+            b = int(bs)
+            if b in self._over or b in self._refs:
+                continue
+            if isinstance(v, str):
+                self._refs[b] = v
+            else:
+                self._refs[b] = v["k"]
+                self._meta[b] = {
+                    f: v[f] for f in ("n", "d", "by", "dby", "r") if f in v
+                }
+        self._gpend.discard(g)
+
+    def _hydrate_groups(self) -> None:
+        for g in list(self._gpend):
+            self._hydrate_group(g)
+
+    def _ensure_bucket(self, b: int) -> None:
+        """Hydrate the one group that could hold ``b``, if pending —
+        a group-file read at most, never a shard read."""
+        if b in self._over or b in self._refs or not self._gsize:
+            return
+        g = b // self._gsize
+        if g in self._gpend:
+            self._hydrate_group(g)
+
+    def buckets_outside_groups(self, groups: set) -> list[int]:
+        """All buckets NOT covered by the given clean groups, hydrating
+        only the groups outside that set — the serialization/diff walk
+        that skips shared groups without reading them."""
+        for g in list(self._gpend):
+            if g not in groups:
+                self._hydrate_group(g)
+        out = []
+        for b in set(self._refs) | set(self._over):
+            if self._gsize is None or (b // self._gsize) not in groups:
+                out.append(b)
+        return sorted(out)
 
     def __getitem__(self, b: int) -> list:
         if b in self._over:
             return self._over[b]
         if b in self._cache:
             return self._cache[b]
+        self._ensure_bucket(b)
         if b not in self._refs:
             raise KeyError(b)
         v = _read_manifest_shard(self._dir, self._refs[b])
         self._cache[b] = v
         return v
 
+    def __contains__(self, b) -> bool:
+        if not isinstance(b, int):
+            return False
+        self._ensure_bucket(b)
+        return b in self._over or b in self._refs
+
     def __iter__(self):
+        self._hydrate_groups()
         return iter(sorted(set(self._refs) | set(self._over)))
 
     def __len__(self) -> int:
+        self._hydrate_groups()
         return len(set(self._refs) | set(self._over))
 
     def updated(self, changes: dict[int, list], removed: set | frozenset = frozenset()
                 ) -> "ShardedFileMap":
         """A new map with ``changes`` applied (bucket -> full new entry
         list) and ``removed`` buckets dropped; untouched buckets keep
-        sharing the parent's shard references (never hydrated here)."""
+        sharing the parent's shard references, and untouched GROUPS the
+        parent's group files (never hydrated here — a touched group is
+        hydrated so its other buckets' shard refs survive into the
+        rebuilt group)."""
         gone = set(removed) | set(changes)
+        gkeys = dict(self._gkeys)
+        if self._gsize and gone:
+            for g in {b // self._gsize for b in gone}:
+                if g in self._gpend:
+                    self._hydrate_group(g)
+                gkeys.pop(g, None)
         refs = {b: k for b, k in self._refs.items() if b not in gone}
         meta = {b: m for b, m in self._meta.items() if b not in gone}
         over = {b: v for b, v in self._over.items() if b not in gone}
         over.update({b: v for b, v in changes.items() if v})
-        return ShardedFileMap(refs, self._dir, over, meta)
+        child = ShardedFileMap(refs, self._dir, over, meta,
+                               group_keys=gkeys, group_size=self._gsize)
+        # groups this map already hydrated stay hydrated in the child
+        # (their refs were copied above)
+        child._gpend = self._gpend & set(gkeys)
+        return child
 
     def ref_for(self, b: int) -> str | None:
         """The bucket's existing shard key, if its entries are untouched
-        (serialization reuses it without hydrating)."""
-        return None if b in self._over else self._refs.get(b)
-
-    def stat(self, b: int, field: str):
-        """Summary stat (n/d/by/dby/r) for an UNTOUCHED bucket from the
-        snapshot document, or None when unavailable — the caller falls
-        back to hydrating that bucket."""
+        (serialization reuses it without hydrating the shard)."""
         if b in self._over:
             return None
+        self._ensure_bucket(b)
+        return self._refs.get(b)
+
+    def stat(self, b: int, field: str):
+        """Summary stat (n/d/by/dby/r) for an UNTOUCHED bucket from its
+        group file, or None when unavailable — the caller falls back to
+        hydrating that bucket's shard."""
+        if b in self._over:
+            return None
+        self._ensure_bucket(b)
         m = self._meta.get(b)
         return None if m is None else m.get(field)
 
@@ -698,10 +858,13 @@ class ManifestTable:
         kb = self._key_bucket_from_where(snap, preds) if preds else None
         if kb is not None:
             bucket_set = {kb} if bucket_set is None else bucket_set & {kb}
-        # iterate only the selected buckets: with lazy shards a pruned
-        # read (point lookup, bucket subset) parses O(selected) shards
+        # iterate only the selected buckets: with lazy groups+shards a
+        # pruned read (point lookup, bucket subset) parses O(selected)
+        # group and shard files (membership hydrates one group, never
+        # the whole key set)
         sel_buckets = (
-            sorted(set(snap.files) & bucket_set) if bucket_set is not None
+            sorted(b for b in bucket_set if b in snap.files)
+            if bucket_set is not None
             else list(snap.files)
         )
         for b in sel_buckets:
@@ -1146,7 +1309,10 @@ class ManifestTable:
         a {bucket: bytes} map with ``per_bucket=True`` (the fan-out
         sizing needs the max, not the sum, under bucket-size skew)."""
         snap = snapshot or self.current_snapshot()
-        sel = sorted(set(snap.files) & set(buckets)) if buckets is not None else list(snap.files)
+        sel = (
+            sorted(b for b in set(buckets) if b in snap.files)
+            if buckets is not None else list(snap.files)
+        )
         sizes: dict[int, int] = {
             b: self._bucket_stat(
                 snap, b, "by", lambda es: sum(self._entry_bytes(e) for e in es)
@@ -1181,7 +1347,10 @@ class ManifestTable:
         deltas is O(table) write amplification per cycle, the classic
         LSM amortization problem."""
         snap = snapshot or self.current_snapshot()
-        sel = sorted(set(snap.files) & set(buckets)) if buckets is not None else list(snap.files)
+        sel = (
+            sorted(b for b in set(buckets) if b in snap.files)
+            if buckets is not None else list(snap.files)
+        )
         out: dict[int, tuple[int, int]] = {}
         for b in sel:
             if isinstance(snap.files, ShardedFileMap):
@@ -1301,17 +1470,27 @@ class ManifestTable:
         diff of their manifests IS the change set)."""
         old = self.snapshot_at(from_version)
         new = self.snapshot_at(to_version)
-        # shard-ref fast path: a bucket whose content-addressed ref is
-        # identical in both snapshots is byte-identical — skip it without
-        # hydrating either side. An incremental chain pull then parses
-        # O(changed buckets) metadata, not two full tables.
-        changed = list(new.files)
+        # ref fast paths: a GROUP whose content-addressed group-file key
+        # is identical in both snapshots covers only byte-identical
+        # buckets — skip the whole group without reading it; within
+        # differing groups, a bucket whose shard ref matches is skipped
+        # without hydrating the shard. An incremental chain pull then
+        # parses O(changed groups + changed buckets) metadata, not two
+        # full tables.
         if isinstance(old.files, ShardedFileMap) and isinstance(new.files, ShardedFileMap):
+            ng, og = new.files.group_keys(), old.files.group_keys()
+            same_groups = (
+                {g for g, k in ng.items() if og.get(g) == k}
+                if new.files.group_size == old.files.group_size
+                else set()
+            )
             changed = [
-                b for b in new.files
+                b for b in new.files.buckets_outside_groups(same_groups)
                 if new.files.ref_for(b) is None
                 or new.files.ref_for(b) != old.files.ref_for(b)
             ]
+        else:
+            changed = list(new.files)
         seen = {
             e["path"]
             for b in changed if b in old.files
@@ -1454,40 +1633,58 @@ class ManifestTable:
             except FileNotFoundError:
                 pass
 
-        # manifest-shard GC (format v3): a shard is live iff referenced
-        # by a SURVIVING snapshot's files_ref. A freshly-written shard
-        # whose snapshot claim hasn't landed yet would look dead, so
-        # shards younger than the grace window are always kept (the
-        # same single-logical-writer assumption that guards the data
-        # vacuum above applies; the grace window is belt-and-braces).
+        # manifest group+shard GC: a group file is live iff referenced
+        # by a SURVIVING snapshot's groups_ref; a shard is live iff
+        # referenced by a surviving snapshot's files_ref (v3) or by a
+        # live group file (v4). A freshly-written file whose snapshot
+        # claim hasn't landed yet would look dead, so files younger than
+        # the grace window are always kept (the same
+        # single-logical-writer assumption that guards the data vacuum
+        # above applies; the grace window is belt-and-braces).
         deleted_shards = 0
+        deleted_groups = 0
         if os.path.isdir(self._manifest_dir):
             live_shards: set[str] = set()
+            live_groups: set[str] = set()
             for v in sorted(keep):
                 with open(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json")) as f:
-                    for ref in json.loads(f.read()).get("files_ref", {}).values():
+                    doc = json.loads(f.read())
+                for ref in doc.get("files_ref", {}).values():
+                    live_shards.add(ref if isinstance(ref, str) else ref["k"])
+                for gk in doc.get("groups_ref", {}).values():
+                    if gk in live_groups:
+                        continue
+                    live_groups.add(gk)
+                    for ref in _read_group_file(self._manifest_dir, gk).values():
                         live_shards.add(ref if isinstance(ref, str) else ref["k"])
             import time as _time
 
             now = _time.time()
             for n in os.listdir(self._manifest_dir):
-                if not (n.startswith("m-") and n.endswith(".json")):
+                if n.startswith("m-") and n.endswith(".json"):
+                    live = n[len("m-"):-len(".json")] in live_shards
+                elif n.startswith("g-") and n.endswith(".json"):
+                    live = n[len("g-"):-len(".json")] in live_groups
+                else:
                     continue
-                key = n[len("m-"):-len(".json")]
                 full = os.path.join(self._manifest_dir, n)
-                if key in live_shards:
+                if live:
                     continue
                 try:
                     if now - os.path.getmtime(full) < 300:
                         continue
                     os.remove(full)
-                    deleted_shards += 1
+                    if n.startswith("m-"):
+                        deleted_shards += 1
+                    else:
+                        deleted_groups += 1
                 except FileNotFoundError:
                     pass
         return {
             "expired": expired,
             "deleted_dirs": deleted,
             "deleted_shards": deleted_shards,
+            "deleted_groups": deleted_groups,
         }
 
     # ---------- schema evolution (metadata-only, files untouched) ----------

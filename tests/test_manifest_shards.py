@@ -1,11 +1,14 @@
-"""Format v3 manifest shards: a delta commit's written metadata bytes
-are O(touched buckets), not O(table); untouched buckets' shards are
-shared by reference across snapshots; v2 (embedded-entries) snapshots
-stay readable; expiry garbage-collects unreferenced shards."""
+"""Format v4 manifest metadata: a delta commit's written metadata bytes
+are O(touched buckets + touched groups), not O(table); untouched
+buckets' shards AND untouched groups' ref tables are shared by
+reference across snapshots; v3 (flat ref table) and v2
+(embedded-entries) snapshots stay readable; expiry garbage-collects
+unreferenced shards and group files."""
 
 import json
 import os
 
+import etl_spark.table.manifest as M
 from etl_spark.table.manifest import (
     ColumnDef,
     ManifestTable,
@@ -15,7 +18,7 @@ from etl_spark.table.manifest import (
 
 
 def _meta_files(root):
-    """(path, bytes) of every snapshot/shard file under _snapshots."""
+    """(path, bytes) of every snapshot/shard/group file under _snapshots."""
     out = {}
     snap_dir = os.path.join(root, "_snapshots")
     for dirpath, _, names in os.walk(snap_dir):
@@ -37,15 +40,15 @@ def _mk(spark, root, num_buckets=32):
     return t
 
 
-def test_delta_commit_metadata_is_o_touched(spark, tmp_path):
+def test_delta_commit_metadata_is_o_touched(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)  # 32 buckets -> 4 groups
     root = str(tmp_path / "tbl")
     t = _mk(spark, root)
     base_meta = _meta_files(root)
-    full_bytes = sum(base_meta.values())
     n_buckets_with_data = len(t.current_snapshot().files)
     assert n_buckets_with_data == 32  # 3000 keys cover all buckets
 
-    # a delta touching ONE key = one bucket
+    # a delta touching ONE key = one bucket = one group
     snap = t.current_snapshot()
     written = t.write_delta_files(
         spark.createDataFrame([("k1", 999)], "k string, v long"), snap
@@ -53,34 +56,48 @@ def test_delta_commit_metadata_is_o_touched(spark, tmp_path):
     t.commit_appended(written, snap.current_schema_version)
     new_meta = {p: b for p, b in _meta_files(root).items() if p not in base_meta}
 
-    # exactly one new shard (the touched bucket) + one new snapshot doc
-    new_shards = [p for p in new_meta if "/manifests/" in p]
+    # exactly one new shard (the touched bucket) + one new group file
+    # (the touched group) + one new snapshot doc
+    new_shards = [p for p in new_meta if "/manifests/m-" in p]
+    new_groups = [p for p in new_meta if "/manifests/g-" in p]
     assert len(new_shards) == 1
+    assert len(new_groups) == 1
     assert len(written) == 1
-    # the new snapshot document embeds no entries — it is reference-sized
+    # the new snapshot document embeds no entries and no per-bucket ref
+    # table — it is GROUP-reference-sized
     snap_docs = [p for p in new_meta if "/manifests/" not in p]
     assert len(snap_docs) == 1
     doc = json.loads(open(snap_docs[0]).read())
-    assert "files" not in doc and "files_ref" in doc
+    assert "files" not in doc and "files_ref" not in doc
+    assert "groups_ref" in doc and doc["group_size"] == 8
+    assert len(doc["groups_ref"]) == 4
     # written metadata bytes are far below what embedding the entries
     # would have written (the v2 form this replaces): 31 untouched
-    # buckets' per-column stats were NOT rewritten — only the document
-    # (one ~90 B ref+summary per bucket) plus ONE shard
+    # buckets' per-column stats were NOT rewritten, 3 untouched groups'
+    # ref tables were NOT rewritten — only the doc + ONE group + ONE shard
     v2_bytes = len(t.current_snapshot().to_json())  # embedded form
     assert sum(new_meta.values()) < v2_bytes / 2
 
-    # the untouched buckets' shard references are literally shared
+    # the untouched GROUPS' file keys are literally shared
     prev_doc = json.loads(
         open(os.path.join(root, "_snapshots", "snapshot-00000001.json")).read()
     )
-    touched = set(written)
-    shared = {
-        b: k for b, k in doc["files_ref"].items() if int(b) not in touched
-    }
+    touched_group = str(next(iter(written)) // 8)
+    shared = {g: k for g, k in doc["groups_ref"].items() if g != touched_group}
     assert shared == {
-        b: k for b, k in prev_doc["files_ref"].items() if int(b) not in touched
+        g: k for g, k in prev_doc["groups_ref"].items() if g != touched_group
     }
-    assert len(shared) == 31
+    assert len(shared) == 3
+    assert doc["groups_ref"][touched_group] != prev_doc["groups_ref"][touched_group]
+    # ...and inside the rewritten group, untouched buckets' SHARD refs
+    # are shared with the previous group file
+    man_dir = os.path.join(root, "_snapshots", "manifests")
+    new_g = M._read_group_file(man_dir, doc["groups_ref"][touched_group])
+    old_g = M._read_group_file(man_dir, prev_doc["groups_ref"][touched_group])
+    tb = str(next(iter(written)))
+    assert {b: r for b, r in new_g.items() if b != tb} == {
+        b: r for b, r in old_g.items() if b != tb
+    }
 
     # reads and time travel still see the right data (ManifestTable.read
     # is the RAW view: base + unresolved delta rows; LWW resolution is
@@ -107,28 +124,82 @@ def test_delta_commit_metadata_is_o_touched(spark, tmp_path):
     assert abs(meta3[doc3[0]] - new_meta[snap_docs[0]]) < 500
 
 
+def test_snapshot_document_is_o_groups_not_o_buckets(spark, tmp_path, monkeypatch):
+    """The document carries one ref per GROUP: growing the bucket count
+    8x grows the document by ~the group-ref delta, not 8x."""
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)
+    small = _mk(spark, str(tmp_path / "small"), num_buckets=8)    # 1 group
+    big = _mk(spark, str(tmp_path / "big"), num_buckets=64)       # 8 groups
+    b_small = len(small.current_snapshot().to_json(
+        os.path.join(str(tmp_path / "small"), "_snapshots", "manifests")))
+    b_big = len(big.current_snapshot().to_json(
+        os.path.join(str(tmp_path / "big"), "_snapshots", "manifests")))
+    # 8x the buckets adds 7 group refs (~35 B each), nowhere near 8x
+    assert b_big - b_small < 7 * 80
+    assert b_big < 2 * b_small
+
+
 def test_v2_embedded_snapshot_still_readable(spark, tmp_path):
     root = str(tmp_path / "tbl")
     t = _mk(spark, root, num_buckets=4)
     # rewrite the current snapshot in v2 embedded form
     snap = t.current_snapshot()
     v2_text = snap.to_json()  # no manifest_dir -> embedded entries
-    assert "files_ref" not in json.loads(v2_text)
+    d2 = json.loads(v2_text)
+    assert "files_ref" not in d2 and "groups_ref" not in d2
     name = f"snapshot-{snap.version:08d}.json"
     with open(os.path.join(root, "_snapshots", name), "w") as f:
         f.write(v2_text)
     t2 = ManifestTable(spark, root, ["k"])
     assert t2.read().count() == 3000
-    # and the next commit over it writes v3 again
+    # and the next commit over it writes v4 again
     t2.overwrite(spark.createDataFrame([("x", 1)], "k string, v long"))
     cur = json.loads(
         open(os.path.join(root, "_snapshots",
                           f"snapshot-{t2.current_snapshot().version:08d}.json")).read()
     )
-    assert "files_ref" in cur
+    assert "groups_ref" in cur
 
 
-def test_v3_from_json_requires_manifest_dir(spark, tmp_path):
+def test_v3_flat_ref_snapshot_still_readable(spark, tmp_path):
+    """A format-v3 document (flat bucket->shard ref table, the round-4
+    layout) attaches, reads, and upgrades to v4 on the next commit."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    man_dir = os.path.join(root, "_snapshots", "manifests")
+    snap = t.current_snapshot()
+    name = f"snapshot-{snap.version:08d}.json"
+    path = os.path.join(root, "_snapshots", name)
+    d = json.loads(open(path).read())
+    d.pop("groups_ref"), d.pop("group_size")
+    d["format_version"] = 3
+    d["files_ref"] = {
+        str(b): {
+            "k": M._write_manifest_shard(man_dir, snap.files[b]),
+            **M._shard_meta(snap.files[b]),
+        }
+        for b in snap.files
+    }
+    with open(path, "w") as f:
+        json.dump(d, f)
+    t2 = ManifestTable(spark, root, ["k"])
+    assert t2.read().count() == 3000
+    # a delta over the v3 snapshot commits fine and writes v4
+    s2 = t2.current_snapshot()
+    w = t2.write_delta_files(
+        spark.createDataFrame([("k1", 777)], "k string, v long"), s2
+    )
+    t2.commit_appended(w, s2.current_schema_version)
+    cur = json.loads(
+        open(os.path.join(root, "_snapshots",
+                          f"snapshot-{t2.current_snapshot().version:08d}.json")).read()
+    )
+    assert "groups_ref" in cur and "files_ref" not in cur
+    got = {(r["k"], r["v"]) for r in t2.read().where("k = 'k1'").collect()}
+    assert got == {("k1", 1), ("k1", 777)}
+
+
+def test_v4_from_json_requires_manifest_dir(spark, tmp_path):
     root = str(tmp_path / "tbl")
     t = _mk(spark, root, num_buckets=4)
     name = f"snapshot-{t.current_snapshot().version:08d}.json"
@@ -139,7 +210,7 @@ def test_v3_from_json_requires_manifest_dir(spark, tmp_path):
         Snapshot.from_json(text)
 
 
-def test_expiry_gcs_unreferenced_shards(spark, tmp_path):
+def test_expiry_gcs_unreferenced_shards_and_groups(spark, tmp_path):
     root = str(tmp_path / "tbl")
     t = _mk(spark, root, num_buckets=4)
     for i in range(4):
@@ -148,57 +219,67 @@ def test_expiry_gcs_unreferenced_shards(spark, tmp_path):
         )
     man_dir = os.path.join(root, "_snapshots", "manifests")
     before = set(os.listdir(man_dir))
-    # age every shard past the in-flight-commit grace window
+    # age every shard/group past the in-flight-commit grace window
     for n in before:
         p = os.path.join(man_dir, n)
         os.utime(p, (os.path.getmtime(p) - 3600, os.path.getmtime(p) - 3600))
     out = t.expire_snapshots(keep_last=1)
     assert out["deleted_shards"] > 0
+    assert out["deleted_groups"] > 0
     after = set(os.listdir(man_dir))
-    # surviving snapshots' shards all still resolve; reads work
+    # surviving snapshots' groups all still resolve, and every shard
+    # they reference resolves; reads work
     for v in [t.current_snapshot().version]:
         doc = json.loads(
             open(os.path.join(root, "_snapshots", f"snapshot-{v:08d}.json")).read()
         )
-        for ref in doc["files_ref"].values():
-            key = ref if isinstance(ref, str) else ref["k"]
-            assert f"m-{key}.json" in after
+        for gk in doc["groups_ref"].values():
+            assert f"g-{gk}.json" in after
+            for ref in M._read_group_file(man_dir, gk).values():
+                key = ref if isinstance(ref, str) else ref["k"]
+                assert f"m-{key}.json" in after
     assert t.read().count() == 1
 
 
 def _count_hydrations(monkeypatch):
-    import etl_spark.table.manifest as M
+    calls = {"n": 0, "g": 0}
+    real_shard = M._read_manifest_shard
+    real_group = M._read_group_file
 
-    calls = {"n": 0}
-    real = M._read_manifest_shard
-
-    def counted(d, k):
+    def counted_shard(d, k):
         calls["n"] += 1
-        return real(d, k)
+        return real_shard(d, k)
 
-    monkeypatch.setattr(M, "_read_manifest_shard", counted)
+    def counted_group(d, k):
+        calls["g"] += 1
+        return real_group(d, k)
+
+    monkeypatch.setattr(M, "_read_manifest_shard", counted_shard)
+    monkeypatch.setattr(M, "_read_group_file", counted_group)
     return calls
 
 
-def test_point_read_hydrates_one_shard(spark, tmp_path, monkeypatch):
-    """Attach + bucket-pruned read parse O(touched) shards, not the
-    table: the 100 TB point-lookup path."""
+def test_point_read_hydrates_one_group_and_one_shard(spark, tmp_path, monkeypatch):
+    """Attach + bucket-pruned read parse O(touched) group+shard files,
+    not the table: the 100 TB point-lookup path."""
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)
     root = str(tmp_path / "tbl")
-    t = _mk(spark, root)  # 32 buckets, all populated
+    t = _mk(spark, root)  # 32 buckets (4 groups), all populated
     calls = _count_hydrations(monkeypatch)
     t2 = ManifestTable(spark, root, ["k"])
     snap = t2.current_snapshot()
-    assert calls["n"] == 0  # attach parses the document only
+    assert calls["n"] == 0 and calls["g"] == 0  # attach parses the doc only
     b = t2.bucket_for_key({"k": "k1"}, snapshot=snap)
     got = t2.read(buckets=[b], snapshot=snap).where("k = 'k1'").collect()
     assert {(r["k"], r["v"]) for r in got} == {("k1", 1)}
     assert calls["n"] == 1  # exactly the probed bucket's shard
+    assert calls["g"] == 1  # exactly the probed bucket's group
 
 
-def test_sizing_reads_document_summaries_not_shards(spark, tmp_path, monkeypatch):
+def test_sizing_reads_group_summaries_not_shards(spark, tmp_path, monkeypatch):
     """delta_counts / bucket_bytes / bucket_delta_base_bytes — the
-    per-replay-batch eligibility checks — answer from the snapshot
-    document's per-bucket summaries with zero shard hydration."""
+    per-replay-batch eligibility checks — answer from the group files'
+    per-bucket summaries with zero shard hydration."""
     root = str(tmp_path / "tbl")
     t = _mk(spark, root)
     snap0 = t.current_snapshot()
@@ -220,6 +301,7 @@ def test_sizing_reads_document_summaries_not_shards(spark, tmp_path, monkeypatch
 
 
 def test_append_commit_hydrates_only_touched(spark, tmp_path, monkeypatch):
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)
     root = str(tmp_path / "tbl")
     t = _mk(spark, root)
     snap0 = t.current_snapshot()
@@ -229,16 +311,20 @@ def test_append_commit_hydrates_only_touched(spark, tmp_path, monkeypatch):
     calls = _count_hydrations(monkeypatch)
     t2 = ManifestTable(spark, root, ["k"])
     t2.commit_appended(written, snap0.current_schema_version)
-    # only the touched bucket's entries were read to build its new list
+    # only the touched bucket's entries were read to build its new list,
+    # and only its group's ref table was read to rebuild the group
     assert calls["n"] <= 2
+    assert calls["g"] <= 2
     assert t2.read().where("k = 'k1' and v = 7").count() == 1
 
 
 def test_added_files_diff_is_o_changed(spark, tmp_path, monkeypatch):
-    """Snapshot diff (the incremental chain pull) skips buckets whose
-    content-addressed refs match — O(changed buckets) hydration."""
+    """Snapshot diff (the incremental chain pull) skips GROUPS whose
+    content-addressed group keys match without reading them, then
+    buckets whose shard refs match — O(changed) hydration."""
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)
     root = str(tmp_path / "tbl")
-    t = _mk(spark, root)
+    t = _mk(spark, root)  # 32 buckets = 4 groups
     v0 = t.current_snapshot().version
     snap = t.current_snapshot()
     written = t.write_delta_files(
@@ -252,4 +338,5 @@ def test_added_files_diff_is_o_changed(spark, tmp_path, monkeypatch):
     out = t2.added_files(v0, v1)
     assert list(out) == list(written)  # exactly the touched bucket
     assert sum(len(es) for es in out.values()) == 1
+    assert calls["g"] <= 2  # old+new group file of the ONE changed group
     assert calls["n"] <= 2  # old+new shard of the one changed bucket

@@ -220,7 +220,7 @@ def test_bucket_fn_mismatch_refuses_attach(spark, tmp_path):
         key_columns=["k"], num_buckets=2,
     )
     snap = t.current_snapshot()  # records murmur3_pmod / format v2
-    assert snap.bucket_fn == "murmur3_pmod" and snap.format_version == 3
+    assert snap.bucket_fn == "murmur3_pmod" and snap.format_version == 4
 
     # simulate a table written by a build using a different hash
     snap_dir = os.path.join(root, "_snapshots")

@@ -116,9 +116,12 @@ def test_expire_snapshots_refuses_on_total_mismatch(spark, tmp_path):
     )
     t.overwrite(spark.createDataFrame([("a", 1)], "k string, v long"))
     # corrupt the manifest paths to point at a foreign location (format
-    # v3 keeps entry lists in content-addressed shards under manifests/)
+    # v4 keeps entry lists in content-addressed m-* shards under
+    # manifests/; g-* group files hold only refs, not paths)
     man_dir = os.path.join(root, "_snapshots", "manifests")
     for n in os.listdir(man_dir):
+        if not n.startswith("m-"):
+            continue
         p = os.path.join(man_dir, n)
         es = _json.loads(open(p).read())
         for e in es:
