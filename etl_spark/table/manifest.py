@@ -208,6 +208,7 @@ class Snapshot:
                 fm.buckets_outside_groups(set(groups))
                 if fm is not None else list(self.files)
             )
+            new_shards: dict[int, tuple[str, dict]] = {}
             for b in candidates:
                 key = fm.ref_for(b) if fm is not None else None
                 if key is not None:
@@ -217,13 +218,23 @@ class Snapshot:
                     refobj = {"k": key, **meta} if meta else key
                 else:
                     entries = self.files[b]
-                    refobj = {
-                        "k": _write_manifest_shard(manifest_dir, entries),
-                        **_shard_meta(entries),
-                    }
+                    meta = _shard_meta(entries)
+                    key = _write_manifest_shard(manifest_dir, entries)
+                    refobj = {"k": key, **meta}
+                    new_shards[b] = (key, meta)
                 rebuild.setdefault(b // gsize, {})[str(b)] = refobj
-            for g, contents in rebuild.items():
-                groups[g] = _write_group_file(manifest_dir, contents)
+            new_groups = {
+                g: _write_group_file(manifest_dir, contents)
+                for g, contents in rebuild.items()
+            }
+            groups.update(new_groups)
+            if fm is not None:
+                # record what was just written back into the map, so a
+                # snapshot kept in the table's cache serializes children
+                # against CLEAN groups — without this, groups touched
+                # anywhere in a cached lineage would be rebuilt on every
+                # later commit (O(lifetime-touched) instead of O(touched))
+                fm._absorb_serialized(new_shards, new_groups, gsize)
             d["groups_ref"] = {str(g): k for g, k in sorted(groups.items())}
             d["group_size"] = gsize
         return json.dumps(d, indent=1)
@@ -423,6 +434,27 @@ class ShardedFileMap(Mapping):
         if g in self._gpend:
             self._hydrate_group(g)
 
+    def _absorb_serialized(self, shards: dict[int, tuple[str, dict]],
+                           group_keys: dict[int, str], gsize: int) -> None:
+        """Record the shard/group files ``Snapshot.to_json`` just wrote,
+        so this map matches its on-disk form: rebuilt buckets move from
+        overrides to refs (their entries stay cached in memory), rebuilt
+        groups become CLEAN — a later ``updated()`` child re-serializes
+        only ITS touched groups. Semantically a no-op (same logical
+        content); called only from serialization."""
+        for b, (key, meta) in shards.items():
+            entries = self._over.pop(b, None)
+            if entries is not None:
+                self._cache[b] = entries
+            self._refs[b] = key
+            if meta:
+                self._meta[b] = meta
+        if self._gsize is None:
+            self._gsize = gsize
+        self._gkeys.update(group_keys)
+        # rebuilt groups' buckets are all represented in _refs now
+        self._gpend -= set(group_keys)
+
     def buckets_outside_groups(self, groups: set) -> list[int]:
         """All buckets NOT covered by the given clean groups, hydrating
         only the groups outside that set — the serialization/diff walk
@@ -598,6 +630,28 @@ class ManifestTable:
         self._snap_dir = os.path.join(root, "_snapshots")
         self._manifest_dir = os.path.join(self._snap_dir, "manifests")
         self._data_dir = os.path.join(root, "data")
+        # parsed-snapshot cache, keyed by version. Snapshot FILES are
+        # immutable once claimed (exclusive-create is the commit point),
+        # so a cached parse can never go stale; version RESOLUTION
+        # (pointer + directory scan) still happens on every
+        # current_snapshot() call, so concurrent writers are seen. The
+        # point is metadata-read amortization: a cached ShardedFileMap
+        # keeps its hydrated group/shard state, and a just-committed
+        # snapshot's map shares untouched refs with its parent via
+        # updated() — so per-batch walks (eligibility, sizing,
+        # delta_counts) re-read O(touched) group files instead of
+        # O(num_groups) every batch. Bounded at _SNAP_CACHE_MAX entries
+        # (oldest versions evicted); expire_snapshots purges expired
+        # versions so beyond-retention time travel still fails loudly.
+        self._snap_cache: dict[int, Snapshot] = {}
+
+    _SNAP_CACHE_MAX = 4
+
+    def _cache_snapshot(self, snap: Snapshot) -> Snapshot:
+        self._snap_cache[snap.version] = snap
+        while len(self._snap_cache) > self._SNAP_CACHE_MAX:
+            del self._snap_cache[min(self._snap_cache)]
+        return snap
 
     # ---------- lifecycle ----------
 
@@ -683,8 +737,15 @@ class ManifestTable:
         latest = max(self._snapshot_versions(), default=ptr_version)
         if latest > ptr_version:
             name = f"snapshot-{latest:08d}.json"
-        with open(os.path.join(self._snap_dir, name)) as f:
-            snap = self._check_format(Snapshot.from_json(f.read(), self._manifest_dir))
+        version = max(latest, ptr_version)
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            snap = cached
+        else:
+            with open(os.path.join(self._snap_dir, name)) as f:
+                snap = self._cache_snapshot(self._check_format(
+                    Snapshot.from_json(f.read(), self._manifest_dir)
+                ))
         recorded = snap.properties.get("key_columns")
         if recorded and list(recorded) != self.key_columns:
             raise ValueError(
@@ -708,8 +769,9 @@ class ManifestTable:
         name = f"snapshot-{snap.version:08d}.json"
         path = os.path.join(self._snap_dir, name)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
+        text = snap.to_json(self._manifest_dir)
         with open(tmp, "w") as f:
-            f.write(snap.to_json(self._manifest_dir))
+            f.write(text)
         try:
             os.link(tmp, path)
         except FileExistsError:
@@ -719,6 +781,20 @@ class ManifestTable:
             ) from None
         finally:
             os.unlink(tmp)
+        # the claim succeeded: the in-memory snapshot (whose file map
+        # shares untouched group/shard refs with its parent and has just
+        # absorbed the serialized shard/group keys) IS the on-disk state
+        # — cache it so the next metadata walk inherits the parent's
+        # hydration instead of re-parsing every group file. Plain-dict
+        # maps (create/overwrite/rebucket commits) are cached as a lazy
+        # parse of the just-written document instead, so the lineage
+        # they root gets ref/group sharing too.
+        if isinstance(snap.files, ShardedFileMap):
+            self._cache_snapshot(snap)
+        else:
+            self._cache_snapshot(
+                self._check_format(Snapshot.from_json(text, self._manifest_dir))
+            )
         # pointer cache: never move it backwards (a slower concurrent
         # committer of an OLDER version must not shadow a newer one).
         # The read-check-write is serialized under an flock so two
@@ -1538,9 +1614,14 @@ class ManifestTable:
 
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot by version (time travel)."""
+        cached = self._snap_cache.get(version)
+        if cached is not None:
+            return cached
         path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")
         with open(path) as f:
-            return self._check_format(Snapshot.from_json(f.read(), self._manifest_dir))
+            return self._cache_snapshot(self._check_format(
+                Snapshot.from_json(f.read(), self._manifest_dir)
+            ))
 
     def rollback(self, version: int) -> Snapshot:
         """Restore the table to a historical snapshot — metadata-only
@@ -1587,6 +1668,10 @@ class ManifestTable:
         cur = self.current_snapshot().version
         keep = set(sorted(versions)[-keep_last:]) | {cur}
         expired = [v for v in versions if v not in keep]
+        # expired versions must fail time travel loudly — drop any
+        # cached parse so snapshot_at can't serve a deleted snapshot
+        for v in expired:
+            self._snap_cache.pop(v, None)
 
         # realpath BOTH sides of the membership test: the table may have
         # been attached via a differently-spelled but equivalent root

@@ -340,3 +340,63 @@ def test_added_files_diff_is_o_changed(spark, tmp_path, monkeypatch):
     assert sum(len(es) for es in out.values()) == 1
     assert calls["g"] <= 2  # old+new group file of the ONE changed group
     assert calls["n"] <= 2  # old+new shard of the one changed bucket
+
+
+def test_snapshot_cache_amortizes_per_batch_walks(spark, tmp_path, monkeypatch):
+    """The handle's version-keyed snapshot cache carries group/shard
+    hydration across commits: the per-replay-batch metadata walks
+    (eligibility, sizing, delta_counts) on the handle that just
+    committed read O(touched) group files, not O(num_groups) each
+    batch. Snapshot FILES are immutable once claimed, so the cache can
+    never serve stale content; version resolution still hits the
+    directory so concurrent writers are seen."""
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)  # 32 buckets = 4 groups
+    # prime: one full walk hydrates every group once
+    assert sum(t.delta_counts().values()) == 32
+
+    calls = _count_hydrations(monkeypatch)
+    # ten delta commits, each touching one bucket, each followed by the
+    # walks a replay batch performs
+    for i in range(10):
+        snap = t.current_snapshot()
+        written = t.write_delta_files(
+            spark.createDataFrame([("k1", 100 + i)], "k string, v long"), snap
+        )
+        t.commit_appended(written, snap.current_schema_version)
+        t.delta_counts()
+        t.bucket_bytes(per_bucket=True)
+        t.bucket_delta_base_bytes()
+    # without the cache each of the 30 walks re-parses all 4 groups
+    # (120 reads); with it, only the touched bucket's group is ever
+    # re-read (absorbed refs keep the other groups clean and hydrated)
+    assert calls["g"] <= 10, calls
+    assert calls["n"] <= 11, calls  # touched bucket's entries only
+    assert sum(t.delta_counts().values()) == 42  # 32 base + 10 deltas
+
+
+def test_expire_purges_cached_snapshots(spark, tmp_path):
+    """Expired versions must fail time travel loudly even on the handle
+    that recently parsed (and cached) them."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    for i in range(5):
+        snap = t.current_snapshot()
+        written = t.write_delta_files(
+            spark.createDataFrame([("k1", i)], "k string, v long"), snap
+        )
+        t.commit_appended(written, snap.current_schema_version)
+    versions = sorted(
+        int(n[len("snapshot-"):-len(".json")])
+        for n in os.listdir(os.path.join(root, "_snapshots"))
+        if n.startswith("snapshot-") and n.endswith(".json")
+    )
+    victim = versions[-3]  # recent enough to be in the 4-entry cache
+    t.snapshot_at(victim)  # ensure it IS cached
+    out = t.expire_snapshots(keep_last=2)
+    assert victim in out["expired"]
+    import pytest
+
+    with pytest.raises(FileNotFoundError):
+        t.snapshot_at(victim)
