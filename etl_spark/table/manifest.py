@@ -1330,14 +1330,15 @@ class ManifestTable:
 
     def delta_counts(self) -> dict[int, int]:
         """{bucket: number of file entries} — >1 means unresolved deltas.
-        Answered from the snapshot document's per-bucket summaries when
-        present (zero shard hydration — this runs once per replay batch)."""
+        Answered from the group files' per-bucket summaries when present
+        (zero shard hydration — this runs once per replay batch, and the
+        handle's snapshot cache keeps the group reads at O(touched))."""
         snap = self.current_snapshot()
         return {b: self._bucket_stat(snap, b, "n", lambda es: len(es)) for b in snap.files}
 
     @staticmethod
     def _bucket_stat(snap: Snapshot, b: int, field: str, compute):
-        """Per-bucket stat from the document summary, hydrating the
+        """Per-bucket stat from the group-file summary, hydrating the
         bucket's shard only when the summary is absent/partial."""
         if isinstance(snap.files, ShardedFileMap):
             v = snap.files.stat(b, field)
