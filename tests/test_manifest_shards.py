@@ -400,3 +400,71 @@ def test_expire_purges_cached_snapshots(spark, tmp_path):
 
     with pytest.raises(FileNotFoundError):
         t.snapshot_at(victim)
+
+
+def test_commit_metadata_cost_at_1e4_buckets(tmp_path):
+    """Pure-metadata scale check, no Spark: at 10,000 buckets (the
+    100 TB layout), a 3-bucket delta commit's written metadata is tens
+    of KB — document O(num_groups) + touched groups + touched shards —
+    where the v3 flat ref table alone would rewrite ~1 MB per commit
+    and v2 would rewrite every entry."""
+    man_dir = str(tmp_path / "manifests")
+    NB = 10_000
+    schema = TableSchema([ColumnDef(1, "k", "string"), ColumnDef(2, "v", "long")])
+
+    def entry(b, i):
+        return {"path": f"/data/w{i}/__bucket={b}", "kind": "base", "sv": 1,
+                "bytes": 1_000_000, "rows": 1000, "nb": NB}
+
+    snap1 = Snapshot(version=1, current_schema_version=1, schemas={1: schema},
+                     num_buckets=NB, files={b: [entry(b, 0)] for b in range(NB)},
+                     properties={})
+    doc1 = snap1.to_json(man_dir)
+
+    def disk_bytes():
+        return {
+            n: os.path.getsize(os.path.join(man_dir, n))
+            for n in os.listdir(man_dir)
+        }
+
+    base = disk_bytes()
+    # reload from the serialized form (lazy map), apply a 3-bucket delta
+    snap2l = Snapshot.from_json(doc1, man_dir)
+    touched = [17, 4095, 9999]
+    fm2 = snap2l.files.updated(
+        {b: list(snap2l.files[b]) + [entry(b, 1)] for b in touched}
+    )
+    snap2 = Snapshot(version=2, current_schema_version=1, schemas={1: schema},
+                     num_buckets=NB, files=fm2, properties={})
+    doc2 = snap2.to_json(man_dir)
+    new = {n: sz for n, sz in disk_bytes().items() if n not in base}
+
+    new_shards = [n for n in new if n.startswith("m-")]
+    new_groups = [n for n in new if n.startswith("g-")]
+    assert len(new_shards) == 3          # exactly the touched buckets
+    assert len(new_groups) == 3          # exactly the touched groups
+    commit_bytes = len(doc2) + sum(new.values())
+    # document ~ 10_000/64 group refs ≈ 47 KB; groups+shards ≈ 25 KB.
+    # The v3 flat ref table alone would be ~90 B x 10^4 ≈ 1 MB/commit.
+    assert commit_bytes < 120_000, commit_bytes
+    assert len(doc2) < 60_000, len(doc2)
+    # and the v2 embedded form this replaces
+    assert commit_bytes < len(snap2.to_json()) / 10
+
+
+def test_cache_never_shadows_a_concurrent_commit(spark, tmp_path):
+    """Version resolution hits the pointer+directory on every
+    current_snapshot() call, so handle A's cache cannot hide a commit
+    made through handle B (or another process)."""
+    root = str(tmp_path / "tbl")
+    a = _mk(spark, root, num_buckets=4)
+    assert a.current_snapshot().version == a.current_snapshot().version
+    b = ManifestTable(spark, root, ["k"])
+    snap = b.current_snapshot()
+    written = b.write_delta_files(
+        spark.createDataFrame([("k1", 777)], "k string, v long"), snap
+    )
+    b.commit_appended(written, snap.current_schema_version)
+    # A sees B's commit immediately despite A's warm cache
+    assert a.current_snapshot().version == b.current_snapshot().version
+    assert a.read().where("k = 'k1' and v = 777").count() == 1
