@@ -533,10 +533,11 @@ class ReplayEngine:
         snap0 = self.table.current_snapshot()
         # entry COUNTS come from the manifest's per-bucket summaries
         # (group files), never from shard hydration — this eligibility
-        # walk runs after every replay batch
+        # walk runs after every replay batch, pinned to snap0 so the
+        # conflict check below really covers the whole decision
         buckets = [
-            b for b in snap0.files
-            if self.table._bucket_stat(snap0, b, "n", len) >= min_files
+            b for b, n in self.table.delta_counts(snapshot=snap0).items()
+            if n >= min_files
         ]
         if min_delta_fraction is None:
             min_delta_fraction = self.compact_delta_fraction

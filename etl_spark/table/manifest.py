@@ -303,39 +303,15 @@ class Snapshot:
         return self.schemas[self.current_schema_version]
 
 
-def _shard_key(entries: list[dict]) -> str:
-    """Content address of one bucket's entry list: identical lists —
-    the untouched-bucket case — share one shard file across snapshots."""
-    canon = json.dumps(entries, sort_keys=True, separators=(",", ":"))
-    return hashlib.sha256(canon.encode("utf-8")).hexdigest()[:20]
-
-
-def _write_manifest_shard(manifest_dir: str, entries: list[dict]) -> str:
-    key = _shard_key(entries)
-    path = os.path.join(manifest_dir, f"m-{key}.json")
-    if not os.path.exists(path):
-        os.makedirs(manifest_dir, exist_ok=True)
-        tmp = path + f".tmp-{uuid.uuid4().hex}"
-        with open(tmp, "w") as f:
-            json.dump(entries, f)
-        # content-addressed: a concurrent writer of the same key wrote
-        # identical bytes, so last-replace-wins is safe
-        os.replace(tmp, path)
-    return key
-
-
-def _read_manifest_shard(manifest_dir: str, key: str) -> list[dict]:
-    with open(os.path.join(manifest_dir, f"m-{key}.json")) as f:
-        return json.load(f)
-
-
-def _write_group_file(manifest_dir: str, contents: dict) -> str:
-    """Content-addressed manifest-list group: ``{bucket: shard-ref}``
-    for one ``GROUP_SIZE``-aligned run of buckets. Identical groups —
-    the untouched-group case — share one file across snapshots."""
-    canon = json.dumps(contents, sort_keys=True, separators=(",", ":"))
+def _write_content_addressed(manifest_dir: str, prefix: str, payload) -> str:
+    """One content-addressed-file write protocol for shards (``m-``,
+    one bucket's entry list) and manifest-list groups (``g-``, one
+    GROUP_SIZE-run's {bucket: shard-ref} table): canonical JSON,
+    sha256[:20] key, skip when the identical file exists — that skip IS
+    the sharing of untouched buckets/groups across snapshots."""
+    canon = json.dumps(payload, sort_keys=True, separators=(",", ":"))
     key = hashlib.sha256(canon.encode("utf-8")).hexdigest()[:20]
-    path = os.path.join(manifest_dir, f"g-{key}.json")
+    path = os.path.join(manifest_dir, f"{prefix}-{key}.json")
     if not os.path.exists(path):
         os.makedirs(manifest_dir, exist_ok=True)
         tmp = path + f".tmp-{uuid.uuid4().hex}"
@@ -345,6 +321,19 @@ def _write_group_file(manifest_dir: str, contents: dict) -> str:
         # identical bytes, so last-replace-wins is safe
         os.replace(tmp, path)
     return key
+
+
+def _write_manifest_shard(manifest_dir: str, entries: list[dict]) -> str:
+    return _write_content_addressed(manifest_dir, "m", entries)
+
+
+def _read_manifest_shard(manifest_dir: str, key: str) -> list[dict]:
+    with open(os.path.join(manifest_dir, f"m-{key}.json")) as f:
+        return json.load(f)
+
+
+def _write_group_file(manifest_dir: str, contents: dict) -> str:
+    return _write_content_addressed(manifest_dir, "g", contents)
 
 
 def _read_group_file(manifest_dir: str, key: str) -> dict:
@@ -433,6 +422,14 @@ class ShardedFileMap(Mapping):
         g = b // self._gsize
         if g in self._gpend:
             self._hydrate_group(g)
+
+    def shed_entries(self) -> None:
+        """Release hydrated shard entry lists — they re-read from their
+        immutable shard files on next access. Refs/meta/group keys (the
+        small dicts that make walks O(touched)) stay. Overrides are
+        structural, not cache, and are never shed (committed snapshots
+        have none: serialization absorbs them into refs)."""
+        self._cache.clear()
 
     def _absorb_serialized(self, shards: dict[int, tuple[str, dict]],
                            group_keys: dict[int, str], gsize: int) -> None:
@@ -651,6 +648,16 @@ class ManifestTable:
         self._snap_cache[snap.version] = snap
         while len(self._snap_cache) > self._SNAP_CACHE_MAX:
             del self._snap_cache[min(self._snap_cache)]
+        # only the NEWEST cached snapshot may pin full-table hydration:
+        # older versions keep their small ref/meta/group dicts (the
+        # amortization) but release hydrated shard ENTRY lists — at
+        # 10^5 buckets a fully-walked manifest is hundreds of MB of
+        # per-column stats, and 4 pinned copies is a driver leak, not
+        # a cache
+        newest = max(self._snap_cache)
+        for v, s in self._snap_cache.items():
+            if v != newest and isinstance(s.files, ShardedFileMap):
+                s.files.shed_entries()
         return snap
 
     # ---------- lifecycle ----------
@@ -1328,12 +1335,14 @@ class ManifestTable:
                 last = e
         raise last
 
-    def delta_counts(self) -> dict[int, int]:
+    def delta_counts(self, snapshot: Snapshot | None = None) -> dict[int, int]:
         """{bucket: number of file entries} — >1 means unresolved deltas.
         Answered from the group files' per-bucket summaries when present
         (zero shard hydration — this runs once per replay batch, and the
-        handle's snapshot cache keeps the group reads at O(touched))."""
-        snap = self.current_snapshot()
+        handle's snapshot cache keeps the group reads at O(touched)).
+        Pass ``snapshot`` to pin the walk to a specific version
+        (matching bucket_bytes / bucket_delta_base_bytes)."""
+        snap = snapshot or self.current_snapshot()
         return {b: self._bucket_stat(snap, b, "n", lambda es: len(es)) for b in snap.files}
 
     @staticmethod
@@ -1615,10 +1624,17 @@ class ManifestTable:
 
     def snapshot_at(self, version: int) -> Snapshot:
         """Load a historical snapshot by version (time travel)."""
+        path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")
         cached = self._snap_cache.get(version)
         if cached is not None:
-            return cached
-        path = os.path.join(self._snap_dir, f"snapshot-{version:08d}.json")
+            # another HANDLE (or process) may have expired this version
+            # — a cache hit must not outlive the file, or time travel
+            # to an expired snapshot would silently succeed (and a
+            # rollback through it would republish GC'd group refs).
+            # One stat per hit, vs the parse it replaces.
+            if os.path.exists(path):
+                return cached
+            self._snap_cache.pop(version, None)
         with open(path) as f:
             return self._cache_snapshot(self._check_format(
                 Snapshot.from_json(f.read(), self._manifest_dir)

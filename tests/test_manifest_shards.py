@@ -468,3 +468,56 @@ def test_cache_never_shadows_a_concurrent_commit(spark, tmp_path):
     # A sees B's commit immediately despite A's warm cache
     assert a.current_snapshot().version == b.current_snapshot().version
     assert a.read().where("k = 'k1' and v = 777").count() == 1
+
+
+def test_cross_handle_expire_invalidates_other_handles_cache(spark, tmp_path):
+    """A warm cache on handle A must not serve a version that handle B
+    expired — time travel to a deleted snapshot fails loudly on EVERY
+    handle, not just the one that ran expire_snapshots (a rollback
+    through a stale cached snapshot would republish GC'd group refs)."""
+    import pytest
+
+    root = str(tmp_path / "tbl")
+    a = _mk(spark, root, num_buckets=4)
+    for i in range(5):
+        snap = a.current_snapshot()
+        written = a.write_delta_files(
+            spark.createDataFrame([("k1", i)], "k string, v long"), snap
+        )
+        a.commit_appended(written, snap.current_schema_version)
+    versions = sorted(
+        int(n[len("snapshot-"):-len(".json")])
+        for n in os.listdir(os.path.join(root, "_snapshots"))
+        if n.startswith("snapshot-") and n.endswith(".json")
+    )
+    victim = versions[-3]
+    a.snapshot_at(victim)  # warm A's cache
+    b = ManifestTable(spark, root, ["k"])
+    out = b.expire_snapshots(keep_last=2)
+    assert victim in out["expired"]
+    with pytest.raises(FileNotFoundError):
+        a.snapshot_at(victim)
+    with pytest.raises(FileNotFoundError):
+        a.rollback(victim)
+    # A's view of live state is unharmed
+    assert a.current_snapshot().version == max(versions)
+
+
+def test_older_cached_snapshots_shed_hydrated_entries(spark, tmp_path):
+    """Only the newest cached snapshot pins hydrated shard entry lists;
+    older cached versions keep their small ref/meta dicts but release
+    entries (they re-read from the immutable shards on demand)."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    old = t.current_snapshot()
+    _ = {b: list(old.files[b]) for b in old.files}  # fully hydrate
+    assert len(old.files._cache) == 4
+    snap = t.current_snapshot()
+    written = t.write_delta_files(
+        spark.createDataFrame([("k1", 7)], "k string, v long"), snap
+    )
+    t.commit_appended(written, snap.current_schema_version)
+    # committing cached a newer snapshot -> the old one shed its entries
+    assert len(old.files._cache) == 0
+    # ...but stays fully usable (re-hydrates) and its refs survived
+    assert sum(len(old.files[b]) for b in old.files) == 4
