@@ -1697,13 +1697,50 @@ class ManifestTable:
         # would then mark every live dir dead and vacuum the whole table.
         live_dirs: set[str] = set()
         n_live_entries = 0
+        # kept snapshots share almost all of their metadata (each commit
+        # touches a few buckets), so the walk dedupes by content address:
+        # a group file read once covers every snapshot referencing it, a
+        # shard read once covers every group referencing it — the tick
+        # costs O(unique groups + unique shards), not O(keep x buckets).
+        # This runs DURING replay under the auto-expire knobs, so the
+        # bound matters at 10^4-10^5 buckets.
+        seen_group_keys: set[str] = set()
+        seen_shard_keys: set[str] = set()
+
+        def _add_live(entries):
+            nonlocal n_live_entries
+            for e in entries:
+                n_live_entries += 1
+                # entries point at bucket subdirs: <write_dir>/__bucket=N
+                live_dirs.add(os.path.realpath(os.path.dirname(e["path"].rstrip("/"))))
+
+        def _add_shard(key):
+            if key not in seen_shard_keys:
+                seen_shard_keys.add(key)
+                _add_live(_read_manifest_shard(self._manifest_dir, key))
+
         for v in sorted(keep):
             snap = self.snapshot_at(v)
-            for es in snap.files.values():
-                for e in es:
-                    n_live_entries += 1
-                    # entries point at bucket subdirs: <write_dir>/__bucket=N
-                    live_dirs.add(os.path.realpath(os.path.dirname(e["path"].rstrip("/"))))
+            fm = snap.files if isinstance(snap.files, ShardedFileMap) else None
+            if fm is None:  # v2 embedded entries
+                for es in snap.files.values():
+                    _add_live(es)
+                continue
+            gkeys = fm.group_keys()
+            # buckets not covered by a group (v3 flat refs, or any
+            # not-yet-absorbed override) walk individually
+            for b in fm.buckets_outside_groups(set(gkeys)):
+                key = fm.ref_for(b)
+                if key is None:
+                    _add_live(fm[b])
+                else:
+                    _add_shard(key)
+            for gk in gkeys.values():
+                if gk in seen_group_keys:
+                    continue
+                seen_group_keys.add(gk)
+                for ref in _read_group_file(self._manifest_dir, gk).values():
+                    _add_shard(ref if isinstance(ref, str) else ref["k"])
 
         candidates = []
         matched = 0

@@ -521,3 +521,32 @@ def test_older_cached_snapshots_shed_hydrated_entries(spark, tmp_path):
     assert len(old.files._cache) == 0
     # ...but stays fully usable (re-hydrates) and its refs survived
     assert sum(len(old.files[b]) for b in old.files) == 4
+
+
+def test_expire_walk_dedupes_shared_metadata(spark, tmp_path, monkeypatch):
+    """The expiry tick's live-dirs walk reads each unique group/shard
+    ONCE across all kept snapshots (they share almost everything), so
+    auto-expire during replay costs O(unique metadata), not
+    O(keep x buckets)."""
+    monkeypatch.setattr(M, "GROUP_SIZE", 8)
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root)  # 32 buckets = 4 groups
+    for i in range(10):   # 10 single-bucket delta commits
+        snap = t.current_snapshot()
+        written = t.write_delta_files(
+            spark.createDataFrame([("k1", i)], "k string, v long"), snap
+        )
+        t.commit_appended(written, snap.current_schema_version)
+
+    calls = _count_hydrations(monkeypatch)
+    t2 = ManifestTable(spark, root, ["k"])  # cold handle: worst case
+    out = t2.expire_snapshots(keep_last=5)
+    assert out["expired"]
+    # kept ~6 snapshots x 32 buckets = ~190 shard reads without dedup;
+    # unique shards are 31 untouched + one per kept version of the hot
+    # bucket. Groups likewise: 3 untouched + the hot group's versions,
+    # read once more by the GC section's on-disk doc walk.
+    assert calls["n"] <= 45, calls
+    assert calls["g"] <= 30, calls
+    # table still reads correctly after vacuum
+    assert t2.read().where("k = 'k1'").count() >= 1
