@@ -323,6 +323,12 @@ def _write_content_addressed(manifest_dir: str, prefix: str, payload) -> str:
     return key
 
 
+def _ref_key(ref) -> str:
+    """Shard key from a ref-table value: a bare key string, or a
+    ``{"k": key, ...summary}`` object when stats were recorded."""
+    return ref if isinstance(ref, str) else ref["k"]
+
+
 def _write_manifest_shard(manifest_dir: str, entries: list[dict]) -> str:
     return _write_content_addressed(manifest_dir, "m", entries)
 
@@ -655,8 +661,14 @@ class ManifestTable:
         # per-column stats, and 4 pinned copies is a driver leak, not
         # a cache
         newest = max(self._snap_cache)
+        newest_files = self._snap_cache[newest].files
         for v, s in self._snap_cache.items():
-            if v != newest and isinstance(s.files, ShardedFileMap):
+            # metadata-only commits (rollback, DDL) ALIAS the parent's
+            # map into the new snapshot — shedding the old version then
+            # would strip the newest's hydration through the shared
+            # object, so aliases of the newest are left alone
+            if (v != newest and s.files is not newest_files
+                    and isinstance(s.files, ShardedFileMap)):
                 s.files.shed_entries()
         return snap
 
@@ -1740,7 +1752,7 @@ class ManifestTable:
                     continue
                 seen_group_keys.add(gk)
                 for ref in _read_group_file(self._manifest_dir, gk).values():
-                    _add_shard(ref if isinstance(ref, str) else ref["k"])
+                    _add_shard(_ref_key(ref))
 
         candidates = []
         matched = 0
@@ -1762,15 +1774,22 @@ class ManifestTable:
                 f"file entries but no directory under {self._data_dir!r} matched a "
                 "live write dir — refusing to vacuum (manifest/root mismatch?)"
             )
-        deleted = 0
-        for full in candidates:
-            shutil.rmtree(full, ignore_errors=True)
-            deleted += 1
+        # unlink the expired snapshot DOCS before the (slow) data-dir
+        # vacuum: another handle's snapshot_at cache-hit guard stats the
+        # doc, so the doc must disappear before the data it points at —
+        # otherwise a stale read lands in the rmtree window. The
+        # refusal check above already ran, so this path is committed to
+        # deleting; a crash between unlink and rmtree just leaves
+        # orphan dirs for the next tick to vacuum.
         for v in expired:
             try:
                 os.remove(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json"))
             except FileNotFoundError:
                 pass
+        deleted = 0
+        for full in candidates:
+            shutil.rmtree(full, ignore_errors=True)
+            deleted += 1
 
         # manifest group+shard GC: a group file is live iff referenced
         # by a SURVIVING snapshot's groups_ref; a shard is live iff
@@ -1783,19 +1802,25 @@ class ManifestTable:
         deleted_shards = 0
         deleted_groups = 0
         if os.path.isdir(self._manifest_dir):
-            live_shards: set[str] = set()
-            live_groups: set[str] = set()
+            # seed from the live-dirs walk's seen sets: a group key the
+            # walk already read is content-addressed, so its shard refs
+            # are in seen_shard_keys verbatim — only group keys the
+            # walk did NOT encounter (none, for committed snapshots)
+            # are read here. The doc enumeration below stays the
+            # authoritative source of WHICH keys are live.
+            live_shards: set[str] = set(seen_shard_keys)
+            live_groups: set[str] = set(seen_group_keys)
             for v in sorted(keep):
                 with open(os.path.join(self._snap_dir, f"snapshot-{v:08d}.json")) as f:
                     doc = json.loads(f.read())
                 for ref in doc.get("files_ref", {}).values():
-                    live_shards.add(ref if isinstance(ref, str) else ref["k"])
+                    live_shards.add(_ref_key(ref))
                 for gk in doc.get("groups_ref", {}).values():
                     if gk in live_groups:
                         continue
                     live_groups.add(gk)
                     for ref in _read_group_file(self._manifest_dir, gk).values():
-                        live_shards.add(ref if isinstance(ref, str) else ref["k"])
+                        live_shards.add(_ref_key(ref))
             import time as _time
 
             now = _time.time()

@@ -544,9 +544,60 @@ def test_expire_walk_dedupes_shared_metadata(spark, tmp_path, monkeypatch):
     assert out["expired"]
     # kept ~6 snapshots x 32 buckets = ~190 shard reads without dedup;
     # unique shards are 31 untouched + one per kept version of the hot
-    # bucket. Groups likewise: 3 untouched + the hot group's versions,
-    # read once more by the GC section's on-disk doc walk.
+    # bucket. Groups likewise: 3 untouched + the hot group's versions —
+    # the GC section seeds its live sets from the walk's seen sets, so
+    # each unique group file is read exactly once per tick.
     assert calls["n"] <= 45, calls
-    assert calls["g"] <= 30, calls
+    assert calls["g"] <= 15, calls
     # table still reads correctly after vacuum
     assert t2.read().where("k = 'k1'").count() >= 1
+
+
+def test_shed_skips_maps_aliased_by_newest(spark, tmp_path):
+    """Metadata-only commits (rollback, DDL) alias the parent's file map
+    into the new snapshot; shedding the parent version must not strip
+    the NEWEST snapshot's hydration through the shared object."""
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    cur = t.current_snapshot()
+    _ = {b: list(cur.files[b]) for b in cur.files}  # fully hydrate
+    assert len(cur.files._cache) == 4
+    rolled = t.rollback(cur.version)  # files IS cur.files (aliased)
+    assert rolled.files is cur.files
+    # caching the rollback shed nothing through the alias
+    assert len(cur.files._cache) == 4
+
+
+def test_expired_docs_unlink_before_data_vacuum(spark, tmp_path, monkeypatch):
+    """expire_snapshots removes expired snapshot documents BEFORE the
+    slow data-dir vacuum, so another handle's snapshot_at stat guard
+    cannot validate a doc whose data is mid-deletion."""
+    import shutil
+
+    root = str(tmp_path / "tbl")
+    t = _mk(spark, root, num_buckets=4)
+    for i in range(4):
+        # overwrites: expired versions' write dirs become orphans
+        t.overwrite(spark.createDataFrame([("k1", i)], "k string, v long"))
+    snap_dir = os.path.join(root, "_snapshots")
+    versions = sorted(
+        int(n[len("snapshot-"):-len(".json")])
+        for n in os.listdir(snap_dir)
+        if n.startswith("snapshot-") and n.endswith(".json")
+    )
+    will_expire = versions[:-2]
+    real_rmtree = shutil.rmtree
+    seen = {"vacuums": 0}
+
+    def spy(path, **kw):
+        seen["vacuums"] += 1
+        for v in will_expire:
+            assert not os.path.exists(
+                os.path.join(snap_dir, f"snapshot-{v:08d}.json")
+            ), f"data vacuum started while snapshot {v}'s doc still exists"
+        return real_rmtree(path, **kw)
+
+    monkeypatch.setattr(shutil, "rmtree", spy)
+    out = t.expire_snapshots(keep_last=2)
+    assert sorted(out["expired"]) == will_expire
+    assert seen["vacuums"] > 0  # the spy actually gated real deletions
