@@ -65,6 +65,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import operator
 import os
 import uuid
 from concurrent.futures import ThreadPoolExecutor
@@ -269,11 +270,10 @@ class Snapshot:
             # either a bare shard key (early v3) or {"k": key, ...summary}
             refs, meta = {}, {}
             for b, v in d["files_ref"].items():
-                if isinstance(v, str):
-                    refs[int(b)] = v
-                else:
-                    refs[int(b)] = v["k"]
-                    meta[int(b)] = {f: v[f] for f in ("n", "d", "by", "dby", "r") if f in v}
+                key, summary = _parse_ref(v)
+                refs[int(b)] = key
+                if summary:
+                    meta[int(b)] = summary
             files = ShardedFileMap(refs, manifest_dir, meta=meta)
         else:
             files = {int(b): fs for b, fs in d["files"].items()}
@@ -323,10 +323,20 @@ def _write_content_addressed(manifest_dir: str, prefix: str, payload) -> str:
     return key
 
 
+def _parse_ref(ref) -> tuple[str, dict]:
+    """Decode a ref-table value — a bare shard-key string (early v3)
+    or ``{"k": key, ...summary}`` when stats were recorded — into
+    ``(shard key, summary dict)``. The ONE decoder for group files,
+    v3 document ref tables, and key-only callers: the ref-object
+    field set lives here and nowhere else."""
+    if isinstance(ref, str):
+        return ref, {}
+    return ref["k"], {f: ref[f] for f in ("n", "d", "by", "dby", "r") if f in ref}
+
+
 def _ref_key(ref) -> str:
-    """Shard key from a ref-table value: a bare key string, or a
-    ``{"k": key, ...summary}`` object when stats were recorded."""
-    return ref if isinstance(ref, str) else ref["k"]
+    """Shard key from a ref-table value (see ``_parse_ref``)."""
+    return _parse_ref(ref)[0]
 
 
 def _write_manifest_shard(manifest_dir: str, entries: list[dict]) -> str:
@@ -369,7 +379,16 @@ class ShardedFileMap(Mapping):
     and the untouched groups' GROUP FILES with the parent, so
     re-serializing a derived snapshot rewrites only the changed
     buckets' shards and their groups' ref tables (and a pure-metadata
-    commit, e.g. DDL or rollback, rewrites none)."""
+    commit, e.g. DDL or rollback, rewrites none). The loose-bucket /
+    group-membership bookkeeping (``_loose`` / ``_gmembers``) keeps the
+    serialization walk itself O(touched) even on a fully-hydrated
+    cached lineage; the one remaining per-derivation cost that scales
+    with hydration is ``updated``'s ref/meta dict copies —
+    O(hydrated buckets) with a plain-dict-comprehension constant
+    (single-digit ms at the 10^5-bucket target, vs seconds of Spark
+    work per batch), kept because sharing hydrated refs across the
+    cached lineage is exactly what makes per-batch sizing walks
+    O(touched) group READS."""
 
     def __init__(self, refs: dict[int, str], manifest_dir: str,
                  overrides: dict[int, list] | None = None,
@@ -390,6 +409,19 @@ class ShardedFileMap(Mapping):
         self._gkeys = dict(group_keys or {})
         self._gsize = group_size
         self._gpend = set(self._gkeys)
+        # buckets NOT covered by a clean group (v3 flat refs, fresh
+        # overrides). Together with _gmembers (bucket sets of hydrated
+        # clean groups, immutable frozensets shared by reference across
+        # derived maps) this keeps buckets_outside_groups — the
+        # serialization/diff/GC walk — O(result), never O(hydrated):
+        # a cached lineage that iterated the whole table once would
+        # otherwise pay an O(num_buckets) scan on EVERY later commit.
+        # updated() overrides both on derived maps; at direct
+        # construction refs are either empty (v4 parse) or the whole
+        # table (v3 parse / v2 dict), so seeding loose from refs is
+        # exact.
+        self._loose = set(self._refs) | set(self._over)
+        self._gmembers: dict[int, frozenset] = {}
 
     @property
     def group_size(self) -> int | None:
@@ -403,17 +435,21 @@ class ShardedFileMap(Mapping):
     def _hydrate_group(self, g: int) -> None:
         if g not in self._gpend:
             return
+        members = set()
         for bs, v in _read_group_file(self._dir, self._gkeys[g]).items():
             b = int(bs)
+            members.add(b)
             if b in self._over or b in self._refs:
                 continue
-            if isinstance(v, str):
-                self._refs[b] = v
-            else:
-                self._refs[b] = v["k"]
-                self._meta[b] = {
-                    f: v[f] for f in ("n", "d", "by", "dby", "r") if f in v
-                }
+            key, summary = _parse_ref(v)
+            self._refs[b] = key
+            if summary:
+                self._meta[b] = summary
+        # clean-group membership: hydration moves the refs into _refs,
+        # but these buckets stay group-covered (NOT loose) — the set is
+        # what lets a later updated()/serialization walk stay O(touched)
+        # even after a whole-table iteration hydrated every group
+        self._gmembers[g] = frozenset(members)
         self._gpend.discard(g)
 
     def _hydrate_groups(self) -> None:
@@ -457,18 +493,37 @@ class ShardedFileMap(Mapping):
         self._gkeys.update(group_keys)
         # rebuilt groups' buckets are all represented in _refs now
         self._gpend -= set(group_keys)
+        # the rebuilt group files cover exactly the previously-loose
+        # buckets (serialization's candidates ARE the loose set):
+        # record their membership and take them off the loose set, so
+        # the map's walk bookkeeping matches its new on-disk form
+        if group_keys:
+            newmem: dict[int, set] = {g: set() for g in group_keys}
+            for b in self._loose:
+                g = b // self._gsize
+                if g in newmem:
+                    newmem[g].add(b)
+            for g, m in newmem.items():
+                self._gmembers[g] = frozenset(m)
+                self._loose -= m
 
     def buckets_outside_groups(self, groups: set) -> list[int]:
         """All buckets NOT covered by the given clean groups, hydrating
-        only the groups outside that set — the serialization/diff walk
-        that skips shared groups without reading them."""
+        only the clean groups outside that set — the serialization/
+        diff/GC walk that skips shared groups without reading them.
+        O(result + hydrated groups), never O(hydrated buckets): loose
+        buckets are tracked incrementally and each hydrated clean
+        group keeps its membership set, so a commit on a lineage that
+        iterated the whole table (e.g. a cached snapshot sized by
+        ``delta_counts`` every batch) still walks only its own touched
+        buckets here."""
+        out = set(self._loose)
         for g in list(self._gpend):
             if g not in groups:
                 self._hydrate_group(g)
-        out = []
-        for b in set(self._refs) | set(self._over):
-            if self._gsize is None or (b // self._gsize) not in groups:
-                out.append(b)
+        for g, m in self._gmembers.items():
+            if g not in groups:
+                out |= m
         return sorted(out)
 
     def __getitem__(self, b: int) -> list:
@@ -484,7 +539,15 @@ class ShardedFileMap(Mapping):
         return v
 
     def __contains__(self, b) -> bool:
-        if not isinstance(b, int):
+        # accept anything integer-like (numpy ints from collected
+        # Spark rows / pandas frames hash-equal their int value but
+        # fail an isinstance(int) check — rejecting them here would
+        # silently empty a pruned selection that __getitem__ and the
+        # pre-v4 set-intersection path both serve); reject floats and
+        # strings, which __index__ refuses
+        try:
+            b = operator.index(b)
+        except TypeError:
             return False
         self._ensure_bucket(b)
         return b in self._over or b in self._refs
@@ -507,11 +570,17 @@ class ShardedFileMap(Mapping):
         rebuilt group)."""
         gone = set(removed) | set(changes)
         gkeys = dict(self._gkeys)
+        newly_loose: set = set()
         if self._gsize and gone:
             for g in {b // self._gsize for b in gone}:
                 if g in self._gpend:
                     self._hydrate_group(g)
-                gkeys.pop(g, None)
+                if gkeys.pop(g, None) is not None:
+                    # formerly-clean group now dirty: its surviving
+                    # buckets lose group cover and go loose (their
+                    # shard refs are still reused at serialization —
+                    # only the group file rebuilds)
+                    newly_loose |= self._gmembers[g]
         refs = {b: k for b, k in self._refs.items() if b not in gone}
         meta = {b: m for b, m in self._meta.items() if b not in gone}
         over = {b: v for b, v in self._over.items() if b not in gone}
@@ -521,6 +590,12 @@ class ShardedFileMap(Mapping):
         # groups this map already hydrated stay hydrated in the child
         # (their refs were copied above)
         child._gpend = self._gpend & set(gkeys)
+        # membership frozensets are immutable — share them by reference;
+        # the dict copy is O(hydrated groups), i.e. buckets/GROUP_SIZE
+        child._gmembers = {g: m for g, m in self._gmembers.items()
+                           if g in gkeys}
+        child._loose = (self._loose | newly_loose) - gone
+        child._loose.update(b for b, v in changes.items() if v)
         return child
 
     def ref_for(self, b: int) -> str | None:

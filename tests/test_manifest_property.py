@@ -40,6 +40,8 @@ def _snap(files, version=1) -> Snapshot:
 #   ("update", {bucket: tag})   -> set those buckets' entry lists
 #   ("remove", [bucket, ...])   -> drop those buckets
 #   ("reload", None)            -> serialize to disk, parse back (lazy)
+#   ("iterate", None)           -> full walk (hydrates every group —
+#                                  the per-batch sizing access pattern)
 ops_strategy = st.lists(
     st.one_of(
         st.tuples(st.just("update"),
@@ -48,6 +50,7 @@ ops_strategy = st.lists(
         st.tuples(st.just("remove"),
                   st.lists(st.integers(0, 63), min_size=1, max_size=6)),
         st.tuples(st.just("reload"), st.none()),
+        st.tuples(st.just("iterate"), st.none()),
     ),
     min_size=1, max_size=12,
 )
@@ -69,10 +72,12 @@ def test_map_matches_model_under_any_op_sequence(tmp_path, ops, gsize, n0):
         model = {b: [_entry(b, 0)] for b in range(n0)}
         files = {b: list(es) for b, es in model.items()}
         version = 1
+        touched: set = set()  # buckets changed since the last reload
         for kind, payload in ops:
             if kind == "update":
                 changes = {b: [_entry(b, t)] for b, t in payload.items()}
                 model.update({b: list(es) for b, es in changes.items()})
+                touched |= set(changes)
                 if isinstance(files, ShardedFileMap):
                     files = files.updated(changes)
                 else:
@@ -80,15 +85,31 @@ def test_map_matches_model_under_any_op_sequence(tmp_path, ops, gsize, n0):
             elif kind == "remove":
                 for b in payload:
                     model.pop(b, None)
+                touched |= set(payload)
                 if isinstance(files, ShardedFileMap):
                     files = files.updated({}, removed=set(payload))
                 else:
                     files = {b: es for b, es in files.items()
                              if b not in set(payload)}
+            elif kind == "iterate":
+                # the per-batch sizing access pattern: hydrate all
+                assert len(files) == len(model)
             else:  # reload
                 text = _snap(files, version).to_json(man_dir)
                 files = Snapshot.from_json(text, man_dir).files
                 version += 1
+                touched = set()
+            if isinstance(files, ShardedFileMap) and files.group_size:
+                # the serialization/diff walk over the clean groups must
+                # see exactly the dirty groups' surviving buckets — the
+                # incrementally-tracked loose/membership bookkeeping
+                # agrees with the model at every step, regardless of
+                # hydration order
+                gs = files.group_size
+                dirty = {b // gs for b in touched}
+                want = {b for b in model if b // gs in dirty}
+                got = files.buckets_outside_groups(set(files.group_keys()))
+                assert got == sorted(want)
         # final full comparison (hydrates everything)
         assert {b: list(files[b]) for b in files} == model
         # membership + ref paths agree with the model too

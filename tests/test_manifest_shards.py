@@ -601,3 +601,75 @@ def test_expired_docs_unlink_before_data_vacuum(spark, tmp_path, monkeypatch):
     out = t.expire_snapshots(keep_last=2)
     assert sorted(out["expired"]) == will_expire
     assert seen["vacuums"] > 0  # the spy actually gated real deletions
+
+
+def _pure_snap(nb, tag=0):
+    """No-Spark snapshot over nb buckets (one base entry each)."""
+    schema = TableSchema([ColumnDef(1, "k", "string"), ColumnDef(2, "v", "long")])
+
+    def entry(b, i):
+        return {"path": f"/data/w{i}/__bucket={b}", "kind": "base", "sv": 1,
+                "bytes": 1000, "rows": 10, "nb": nb}
+
+    return Snapshot(version=1, current_schema_version=1, schemas={1: schema},
+                    num_buckets=nb, files={b: [entry(b, tag)] for b in range(nb)},
+                    properties={}), entry
+
+
+def test_membership_accepts_integer_like_bucket_ids(tmp_path):
+    """numpy ints (what collected Spark rows / pandas frames hand a
+    tooling caller) must behave exactly like their int value on the
+    lazy v4 map: a pruned selection filtered with ``b in snap.files``
+    keeps the bucket instead of silently coming back empty. Floats and
+    strings stay out."""
+    import numpy as np
+
+    man_dir = str(tmp_path / "manifests")
+    snap, _ = _pure_snap(128)
+    fm = Snapshot.from_json(snap.to_json(man_dir), man_dir).files
+
+    assert np.int64(3) in fm
+    assert list(fm[np.int64(3)]) == list(fm[3])
+    assert [b for b in [np.int64(5), np.int64(500)] if b in fm] == [5]
+    assert 3.0 not in fm
+    assert "3" not in fm
+    assert np.int64(4096) not in fm
+
+
+def test_serialization_walk_is_o_touched_after_full_hydration(tmp_path):
+    """The cached-lineage regression the loose/membership bookkeeping
+    exists for: per-batch sizing iterates the WHOLE cached snapshot
+    (hydrating every group's refs), and every later commit serializes a
+    derived map. The serialization walk must still visit only the
+    touched groups' buckets — not all 10^4 hydrated refs — and absorb
+    must return the map to a zero-loose state so the NEXT commit walks
+    only ITS touched group."""
+    man_dir = str(tmp_path / "manifests")
+    NB = 10_000
+    snap, entry = _pure_snap(NB)
+    doc1 = snap.to_json(man_dir)
+    fm = Snapshot.from_json(doc1, man_dir).files
+    assert len(fm) == NB  # full hydration (the per-batch sizing walk)
+
+    gs = fm.group_size
+    fm2 = fm.updated({17: [entry(17, 1)]})
+    group_of_17 = set(range((17 // gs) * gs, (17 // gs + 1) * gs))
+    # walk = the touched group's buckets, nothing else — even though
+    # all 10^4 refs are hydrated in the lineage
+    assert fm2._loose == group_of_17
+    clean = set(fm2.group_keys())
+    assert fm2.buckets_outside_groups(clean) == sorted(group_of_17)
+
+    snap2 = Snapshot(version=2, current_schema_version=1,
+                     schemas=snap.schemas, num_buckets=NB, files=fm2,
+                     properties={})
+    snap2.to_json(man_dir)
+    # absorb re-cleaned the rebuilt group: nothing loose, empty walk
+    assert fm2._loose == set()
+    assert fm2.buckets_outside_groups(set(fm2.group_keys())) == []
+
+    # second commit on the same cached lineage: only ITS group walks
+    fm3 = fm2.updated({9_999: [entry(9_999, 2)]})
+    group_of_last = set(range((9_999 // gs) * gs, NB))
+    assert fm3._loose == group_of_last
+    assert fm3.buckets_outside_groups(set(fm3.group_keys())) == sorted(group_of_last)
