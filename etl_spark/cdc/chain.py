@@ -5,13 +5,17 @@ copy, or derived table kept in sync incrementally).
 ``propagate_changes`` reads the upstream table's rows committed since
 the last propagated snapshot (``Engine.changes_between``), converts
 them back into the binlog event envelope, and replays them into the
-downstream engine as one batch. Exactly-once does NOT depend on the
-snapshot watermark: every propagated row carries its ORIGINAL event
-offset (per-row lineage), and the downstream engine's offset fence
-drops anything at or below what it already applied — so a crash
-between the downstream commit and the watermark update, or a whole
-re-propagation of an old window, replays as an empty batch. The
-watermark only bounds how much the next cycle reads.
+downstream engine as one batch, with the new watermark committed
+ATOMICALLY in the same snapshot (``replay(extra_properties=...)``).
+Exactly-once does NOT depend on the snapshot watermark: every
+propagated row carries its ORIGINAL event offset (per-row lineage),
+and the downstream engine's offset fence drops anything at or below
+what it already applied — a whole re-propagation of an old window
+replays as an empty batch. The watermark only bounds how much the
+next cycle reads; committing it atomically with the batch also keeps
+the BOOTSTRAP cycle crash-safe (a separate lose-able watermark commit
+used to leave a crashed bootstrap looking like an expired-watermark
+table that refuses to resync forever).
 
 Mode notes: under mor the upstream feed is exact row-level deltas
 (winners + tombstones). Under cow — and after mor compactions — added
@@ -74,10 +78,16 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
     """One incremental sync cycle from ``src``'s table into ``dst``.
 
     Reads upstream commits after the recorded watermark, replays them
-    downstream as the next batch id, then records the new watermark in
-    a separate metadata-only commit (safe to lose — see module doc).
-    Returns ``{"src_version", "events", "batch_id", "skipped"}``."""
-    src_version = src.table.current_snapshot().version
+    downstream as the next batch id; the new watermark rides in the
+    batch's own commit (atomic — see module doc). If the batch was
+    already applied (a retry after a crash between the batch commit
+    and this call's return), nothing commits and the watermark stays
+    behind; the NEXT cycle re-pulls the overlapping window, which the
+    offset fence replays as an empty batch that carries the watermark
+    forward. Returns ``{"src_version", "events", "batch_id",
+    "skipped"}``."""
+    src_snap = src.table.current_snapshot()
+    src_version = src_snap.version
     dst_snap = dst.table.current_snapshot()
     last = int(dst_snap.properties.get(WATERMARK_PROP, 0))
     if src_version <= last:
@@ -85,8 +95,12 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
 
     # the downstream table must be able to hold every payload column the
     # feed carries — a silent column drop is a divergent replica
+    # validate against the SAME snapshot the feed is read from — a
+    # concurrent upstream commit (e.g. add_column) between two
+    # current_snapshot() calls could otherwise demand a column the
+    # replayed window doesn't carry
     src_payload = [
-        c for c in src.table.current_snapshot().schema.names() if c not in _ENGINE_COLS
+        c for c in src_snap.schema.names() if c not in _ENGINE_COLS
     ]
     missing = [c for c in src_payload if c not in set(dst_snap.schema.names())]
     if missing:
@@ -119,10 +133,9 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
     else:
         feed = src.changes_between(last, src_version)
     events = changes_to_events(feed, batch_id)
-    results = dst.replay(events, batches=[batch_id])
-    dst.table.commit_appended(
-        {}, dst.table.current_snapshot().current_schema_version,
-        {WATERMARK_PROP: src_version},
+    results = dst.replay(
+        events, batches=[batch_id],
+        extra_properties={WATERMARK_PROP: int(src_version)},
     )
     return {
         "src_version": src_version,

@@ -100,10 +100,16 @@ def generate_changelog(
     commit_seq = F.greatest(F.col("offset") + jitter, F.lit(0))
     # ~5% of events share a commit with a neighbor (tie-break-by-offset test)
     commit_seq = F.when(_h(seed, 7) % 20 == 0, F.col("offset") - (F.col("offset") % 2)).otherwise(commit_seq)
+    # the hash suffix must derive from commit_seq, NOT the offset: a
+    # per-offset suffix makes every commit string unique, so the ~5%
+    # deliberate same-commit ties above would never materialize and the
+    # engine's (commit, offset) tie-break branch would go unexercised
+    # by every bench/parity run built on this generator
+    commit_suffix = F.abs(F.xxhash64(commit_seq, F.lit(seed), F.lit(8)))
     df = df.withColumn(
         "commit",
         F.concat(F.lpad(commit_seq.cast("string"), 12, "0"), F.lit("-"),
-                 F.lower(F.hex(_h(seed, 8) % F.lit(16**7)))),
+                 F.lower(F.hex(commit_suffix % F.lit(16**7)))),
     )
 
     # --- content: deterministic pseudo-code, 50-2000 chars, unicode + messy

@@ -82,9 +82,15 @@ def classify_events(
     # None status codes (src/sd_delta.py:14 maps None -> update), so
     # coalesce every isin to False: null-status rows are never suppressed
     # and classify as plain upserts everywhere.
+    # __has_active is NULL (not 0) for rows whose KEY columns contain
+    # NULL: the equi-join above never matches a null key, and a NULL
+    # conjunct would make the whole predicate NULL — filter(~NULL)
+    # silently drops the row. Coalesce to False so null-keyed rows are
+    # never suppressed and flow through as ordinary events (the same
+    # dirty-data tolerance the null-status coalesces give).
     suppress = (
         F.coalesce(s.isin(terminals), F.lit(False))
-        & (F.col("__has_active") == 1)
+        & F.coalesce(F.col("__has_active") == 1, F.lit(False))
         & ~F.coalesce(s.isin(dels), F.lit(False))
     )
     out = out.filter(~suppress)

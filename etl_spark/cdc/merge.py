@@ -78,8 +78,20 @@ def resolve_state(
     max_by is also robust to byte-identical duplicate rows (a double-read
     WAL file appended twice under mor): it picks exactly one row per key
     even on order ties, where a broadcast equality join would return both."""
-    pick = lww_winners_broadcast if lww_strategy == "broadcast" else lww_winners
-    resolved = pick(raw, key_columns=key_columns, order_columns=["commit", "_ingest_offset"])
+    if lww_strategy == "broadcast":
+        resolved = lww_winners_broadcast(
+            raw, key_columns=key_columns,
+            order_columns=["commit", "_ingest_offset"],
+        )
+    else:
+        # 'salted' actually forwards the salt (it used to silently run
+        # the unsalted aggregation); winners are identical either way —
+        # the salt only pre-splits hot keys before the shuffle
+        resolved = lww_winners(
+            raw, key_columns=key_columns,
+            order_columns=["commit", "_ingest_offset"],
+            salt=SALT_PARTITIONS if lww_strategy == "salted" else None,
+        )
     if keep_tombstones:
         return resolved
     return resolved.filter(~F.col("_deleted"))
@@ -131,14 +143,23 @@ def _schema_projection(winners: DataFrame, snap: Snapshot, batch_id: int) -> Dat
     from the wire under its original name, so we resolve by column id
     back to the v1 (wire) name. Added columns the events don't carry get
     their schema default; widened types are cast up."""
-    v1_names = {c.id: c.name for c in snap.schemas[1].columns}
+    # wire name resolution: the wire always uses a column's ORIGINAL
+    # name — its v1 name for original columns, its ADD-TIME name for
+    # columns added by later schema versions (resolving through v1
+    # alone made every post-v1 added column invisible here, silently
+    # replacing event-carried values with the column default — a
+    # divergent replica under chain propagation)
+    wire_names: dict[int, str] = {}
+    for v in sorted(snap.schemas):
+        for sc in snap.schemas[v].columns:
+            wire_names.setdefault(sc.id, sc.name)
     event_cols = set(winners.columns)
     computed = {"content_sha256", "_ingest_offset", "_ingest_batch", "_deleted"}
     proj = []
     for c in snap.schema.columns:
         if c.name in computed:
             continue
-        wire = v1_names.get(c.id)
+        wire = wire_names.get(c.id)
         if wire in event_cols:
             proj.append(F.col(wire).cast(c.type).alias(c.name))
         else:
@@ -395,14 +416,20 @@ def merge_batch(
     batch_events, maxes, per_bucket, stats = cow_batch_stats(
         batch_events, keys, snap.num_buckets, delete_guard=delete_guard
     )
-    t_stats = time.monotonic()
-    touched, survivors = cow_batch_survivors(
-        table, snap, batch_events, maxes, stats, batch_id,
-        lww_strategy=lww_strategy,
-        broadcast_key_budget=broadcast_key_budget,
-        tombstone_commit_watermark=tombstone_commit_watermark,
-    )
-    new_snap = table.rewrite_buckets(touched, survivors, properties_update, basis=snap)
+    try:
+        t_stats = time.monotonic()
+        touched, survivors = cow_batch_survivors(
+            table, snap, batch_events, maxes, stats, batch_id,
+            lww_strategy=lww_strategy,
+            broadcast_key_budget=broadcast_key_budget,
+            tombstone_commit_watermark=tombstone_commit_watermark,
+        )
+        new_snap = table.rewrite_buckets(touched, survivors, properties_update, basis=snap)
+    finally:
+        # release the cached thin maxes even when the rewrite or commit
+        # raises (e.g. CommitConflictError) — a long-running driver that
+        # catches per-batch errors must not leak cache blocks
+        maxes.unpersist()
     t_written = time.monotonic()
     counters = {
         "rows_in": stats["events"], "distinct_keys": stats["keys"],
@@ -416,7 +443,6 @@ def merge_batch(
         },
         "per_bucket": _bucket_counters(per_bucket),
     }
-    maxes.unpersist()
     return new_snap, counters
 
 

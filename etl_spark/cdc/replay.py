@@ -601,9 +601,25 @@ class ReplayEngine:
         delete_guard: DataFrame | None = None,
         classify: dict | None = None,
         pipeline_depth: int = 2,
+        extra_properties: dict | None = None,
     ) -> list[dict]:
         """Apply all (or the given) batches in batch-id order; skip batches
         already fenced into the table. Returns per-batch counter dicts.
+
+        ``extra_properties``: caller snapshot properties committed
+        ATOMICALLY with each batch's data commit (e.g. the chain's
+        source-version watermark) — bookkeeping that must never be
+        observable without the batch it describes rides in the same
+        snapshot instead of a separate lose-able commit. Reserved
+        exactly-once keys always win over a colliding entry.
+
+        WAL contract: offsets ascend with batch ids (each batch is a
+        contiguous ascending slice of one log). The offset fence
+        treats everything at/below it as already applied — re-delivered
+        windows (chain re-propagation) replay as empty batches — so a
+        feed whose batch ids do NOT ascend with offsets, or a batch
+        applied after a higher-id batch, would be silently dropped.
+        Both are validated up front and refused loudly.
 
         ``classify``: kwargs for ``etl_spark.cdc.classify.classify_events``
         — a raw status-coded feed (no ``op`` column yet) is classified to
@@ -639,14 +655,43 @@ class ReplayEngine:
         }
         if batches is None:
             batches = sorted(bounds)
+        # refuse the two silent-data-loss shapes up front (see
+        # docstring): non-WAL feeds and out-of-order application. The
+        # snapshot parse is cached-handle metadata, not a Spark job.
+        wm0, res0 = _applied_state(self.table.current_snapshot().properties)
+        max_applied = max([wm0] + [int(x) for x in res0])
+        prev_b = prev_hi = None
+        for b in sorted(batches):
+            lo, hi = bounds.get(b, (None, None))
+            if lo is None:
+                continue
+            if prev_hi is not None and int(lo) <= int(prev_hi):
+                raise ValueError(
+                    f"changelog is not WAL-shaped: batch {b} offset range "
+                    f"[{lo}, {hi}] overlaps or precedes batch {prev_b} "
+                    f"(ends at {prev_hi}) — batch ids must ascend with "
+                    "offsets, or the offset fence silently drops whole "
+                    "batches"
+                )
+            prev_b, prev_hi = b, hi
+            if b < max_applied and not _is_applied(wm0, res0, b):
+                raise ValueError(
+                    f"out-of-order batch application: batch {b} was never "
+                    f"applied but batch {max_applied} already was — the "
+                    f"committed offset fence is past batch {b}'s events, "
+                    "so applying it now would silently drop them. Apply "
+                    "batches in ascending id order."
+                )
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
-                changelog, bounds, sorted(batches), delete_guard, pipeline_depth
+                changelog, bounds, sorted(batches), delete_guard, pipeline_depth,
+                extra_properties=extra_properties,
             )
         if self.mode == "mor" and pipeline_depth > 1:
             if schema_ops is None:
                 return self._replay_mor_pipelined(
-                    changelog, bounds, sorted(batches), delete_guard, pipeline_depth
+                    changelog, bounds, sorted(batches), delete_guard, pipeline_depth,
+                    extra_properties=extra_properties,
                 )
             # Pipeline BETWEEN evolution points: each DDL offset pins the
             # earliest batch whose offset range reaches it to the
@@ -683,7 +728,8 @@ class ReplayEngine:
                 if run:
                     results.extend(
                         self._replay_mor_pipelined(
-                            changelog, bounds, list(run), delete_guard, pipeline_depth
+                            changelog, bounds, list(run), delete_guard, pipeline_depth,
+                            extra_properties=extra_properties,
                         )
                     )
                     run.clear()
@@ -695,6 +741,7 @@ class ReplayEngine:
                         self.apply_batch(
                             changelog, b, schema_ops,
                             bounds=bounds.get(b), delete_guard=delete_guard,
+                            extra_properties=extra_properties,
                         )
                     )
                 else:
@@ -706,7 +753,8 @@ class ReplayEngine:
         for b in sorted(batches):
             results.append(
                 self.apply_batch(
-                    changelog, b, schema_ops, bounds=bounds.get(b), delete_guard=delete_guard
+                    changelog, b, schema_ops, bounds=bounds.get(b),
+                    delete_guard=delete_guard, extra_properties=extra_properties,
                 )
             )
         return results
@@ -718,6 +766,7 @@ class ReplayEngine:
         batches: list[int],
         delete_guard: DataFrame | None,
         depth: int,
+        extra_properties: dict | None = None,
     ) -> list[dict]:
         """Pipelined copy-on-write replay: up to ``depth`` bucket
         rewrites in flight, commits strictly ordered, overlap gated on
@@ -759,12 +808,17 @@ class ReplayEngine:
 
         def drain_one() -> None:
             p = pending.pop(0)
-            entries, write_ms = p["write_fut"].result()
-            t_c = time.monotonic()
-            self.table.commit_rewritten(p["touched"], entries, p["basis"], p["props"])
+            try:
+                entries, write_ms = p["write_fut"].result()
+                t_c = time.monotonic()
+                self.table.commit_rewritten(p["touched"], entries, p["basis"], p["props"])
+            finally:
+                # release the cached thin maxes even when the write or
+                # commit raises — a driver that catches per-batch errors
+                # and continues must not accumulate leaked cache blocks
+                p["maxes"].unpersist()
             commit_ms = int((time.monotonic() - t_c) * 1000)
             self._commits_since_expire += 1
-            p["maxes"].unpersist()
             inflight.difference_update(p["touched"])
             stats = p["stats"]
             duration_ms = int((time.monotonic() - p["t0"]) * 1000)
@@ -797,6 +851,7 @@ class ReplayEngine:
                         drain_one()
                     applied_wm, applied = _compact_applied(applied_wm, applied + [b])
                     self.table.commit_appended({}, sv, {
+                        **(extra_properties or {}),
                         "applied_batches": applied,
                         "applied_batches_watermark": applied_wm,
                         "applied_schema_ops": [o for o in ops_list if o > fence],
@@ -842,7 +897,8 @@ class ReplayEngine:
                     "stats": stats, "per_bucket": per_bucket, "maxes": maxes,
                     "plan_ms": int((time.monotonic() - t0) * 1000),
                     "write_fut": pool.submit(_timed_write),
-                    "props": {"applied_batches": applied,
+                    "props": {**(extra_properties or {}),
+                              "applied_batches": applied,
                               "applied_batches_watermark": applied_wm,
                               "applied_schema_ops": [o for o in ops_list if o > fence],
                               "fence_offset": fence},
@@ -860,6 +916,8 @@ class ReplayEngine:
             self._maybe_expire()
         finally:
             pool.shutdown(wait=True, cancel_futures=True)
+            for p in pending:  # batches never drained (an earlier raise)
+                p["maxes"].unpersist()
         results.sort(key=lambda r: r["batch_id"])
         return results
 
@@ -870,6 +928,7 @@ class ReplayEngine:
         batches: list[int],
         delete_guard: DataFrame | None,
         depth: int,
+        extra_properties: dict | None = None,
     ) -> list[dict]:
         """Pipelined merge-on-read replay: up to ``depth`` batch writes in
         flight, commits strictly ordered.
@@ -952,6 +1011,7 @@ class ReplayEngine:
                         drain_one()
                     applied_wm, applied = _compact_applied(applied_wm, applied + [b])
                     self.table.commit_appended({}, sv, {
+                        **(extra_properties or {}),
                         "applied_batches": applied,
                         "applied_batches_watermark": applied_wm,
                         "applied_schema_ops": [o for o in ops_list if o > fence],
@@ -985,7 +1045,8 @@ class ReplayEngine:
                     "plan_ms": int((time.monotonic() - t0) * 1000),
                     "write_fut": pool.submit(_timed_write),
                     "stats_fut": stats_pool.submit(per_bucket_plan.collect),
-                    "props": {"applied_batches": applied,
+                    "props": {**(extra_properties or {}),
+                              "applied_batches": applied,
                               "applied_batches_watermark": applied_wm,
                               "applied_schema_ops": [o for o in ops_list if o > fence],
                               "fence_offset": fence},
@@ -1009,6 +1070,17 @@ class ReplayEngine:
                     self._maybe_expire()
             while pending:
                 drain_one()
+            # the final drain's commits can push buckets past the
+            # threshold with no later per-batch check — re-check once so
+            # the pipelined path ends in the same compacted state as the
+            # sequential one (reads otherwise pay unresolved-delta cost
+            # until some future replay happens to run)
+            if self.compact_threshold and any(
+                n >= self.compact_threshold
+                for n in self.table.delta_counts().values()
+            ):
+                self.compact(min_files=self.compact_threshold,
+                             min_delta_fraction=self.compact_delta_fraction)
             self._maybe_expire()
         finally:
             self.spark.conf.set("spark.sql.shuffle.partitions", old_sp)
@@ -1025,6 +1097,7 @@ class ReplayEngine:
         schema_ops: DataFrame | None = None,
         bounds: tuple[int, int] | None = None,
         delete_guard: DataFrame | None = None,
+        extra_properties: dict | None = None,
     ) -> dict:
         t0 = time.monotonic()
         snap = self.table.current_snapshot()
@@ -1037,6 +1110,23 @@ class ReplayEngine:
             lo, hi = bounds
         else:
             lo, hi = batch.select(F.min("offset"), F.max("offset")).first()
+        # WAL contract (see replay's docstring): a NON-EMPTY batch below
+        # an already-applied id has its offsets at/below the committed
+        # fence — applying it now would silently drop every event, so
+        # refuse loudly. An EMPTY batch below the max id is legitimate:
+        # it closes a residual-window gap (marks the id applied) without
+        # any events to lose. Re-delivered windows carry a NEW (higher)
+        # batch id and replay as empty batches; only true out-of-order
+        # application trips this.
+        max_applied = max([applied_wm] + [int(x) for x in applied])
+        if batch_id < max_applied and lo is not None:
+            raise ValueError(
+                f"out-of-order batch application: batch {batch_id} was "
+                f"never applied but batch {max_applied} already was — "
+                "its events are at/below the committed offset fence and "
+                "would be silently dropped. Apply batches in ascending "
+                "id order (an empty batch may close the gap)."
+            )
         if lo is None:  # empty batch: still fence it
             lo, hi = self.fence_offset(), self.fence_offset()
 
@@ -1087,6 +1177,7 @@ class ReplayEngine:
         new_fence = max(fence, int(hi))
         new_wm, new_residual = _compact_applied(applied_wm, applied + [batch_id])
         props = {
+            **(extra_properties or {}),
             "applied_batches": new_residual,
             "applied_batches_watermark": new_wm,
             "applied_schema_ops": [o for o in snap_props_ops if o > new_fence],

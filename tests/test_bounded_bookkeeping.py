@@ -88,8 +88,16 @@ def test_out_of_order_batches_use_residual_window(spark, tmp_path):
     # both directions of the membership test
     assert eng.apply_batch(log, 0)["skipped"]
     assert eng.apply_batch(log, 2)["skipped"]
-    # filling the gap advances the watermark over the residual
-    eng.replay(log, batches=[1, 3])
+    # applying batch 1's DATA now is refused: batch 2's commit fenced
+    # past its offsets, so its events would be silently dropped
+    import pytest
+
+    with pytest.raises(ValueError, match="out-of-order"):
+        eng.replay(log, batches=[1, 3])
+    # the legitimate gap-closer is an explicitly EMPTY batch 1 (the
+    # caller declaring the id carries no events): it marks the id
+    # applied and the watermark advances over the whole residual
+    eng.replay(log.filter("batch_id != 1"), batches=[1, 3])
     p = _props(eng)
     assert p["applied_batches_watermark"] == 3
     assert p["applied_batches"] == []

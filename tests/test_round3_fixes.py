@@ -192,13 +192,18 @@ def test_delete_not_resurrected_by_older_commit_in_later_batch(spark, tmp_path, 
     key)."""
     from etl_spark.cdc.replay import ReplayEngine
 
+    # offsets are WAL-shaped (batch ranges ascend); the DISORDER under
+    # test is in the COMMIT ordering — batch 1 carries commits both
+    # older (c50) and newer (c95) than batch 0's tombstones, so the
+    # outcome is decided by LWW against the stored tombstone, not by
+    # the offset fence dropping the late event before it ever competes
     rows = [
         # key k1: U@c10 then D@c90 in batch 0; U@c50 arrives in batch 1 -> stays deleted
         (0, 0, "r", "k1", "c10", "py", "v1", "U"),
         (1, 0, "r", "k1", "c90", "py", None, "D"),
-        (2, 1, "r", "k1", "c50", "py", "v2", "U"),
+        (2, 0, "r", "k2", "c90", "py", None, "D"),
+        (3, 1, "r", "k1", "c50", "py", "v2", "U"),
         # key k2: same shape but the late event's commit is NEWER -> resurrects
-        (3, 0, "r", "k2", "c90", "py", None, "D"),
         (4, 1, "r", "k2", "c95", "py", "v3", "U"),
     ]
     log = spark.createDataFrame(
