@@ -27,20 +27,22 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from etl_spark.operators.relational import t
+from etl_spark.operators.textstats import _TOKEN_SPLIT, _tokens
 
-_TOKEN_SPLIT = r"[^a-z0-9æøåáéíóúñü]+"
 N_MINHASH = 8  # 4 bands x 2 rows
 N_BANDS = 4
 ROWS_PER_BAND = 2
 MAX_DF = 20  # stop-shingle document-frequency cap for candidate generation
+# default near-dup thresholds — ALSO interpolated into the SQL oracles
+# below, so builder defaults and oracle literals cannot drift; a caller
+# passing a non-default threshold has no static oracle twin (same
+# contract as similarity.py's EMB_* knobs)
+NGRAM_THRESHOLD = 0.5
+MINHASH_THRESHOLD = 0.4
 MAX_BUCKET = 50  # LSH band-bucket size cap: oversized buckets are skipped
 # (standard at scale: a bucket holding thousands of docs is a degenerate
 # collision — pure skew, no near-dup signal; candidates it would add are
 # recovered by the other bands or fail Jaccard verification anyway)
-
-
-def _tokens(col):
-    return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
 
 
 def _shingles(col, n: int = 3):
@@ -60,13 +62,25 @@ def _shingles(col, n: int = 3):
             k >= n,
             F.transform(
                 F.sequence(F.lit(0), k - n),
-                lambda i: F.concat_ws(
-                    " ", F.element_at(toks, i + 1), F.element_at(toks, i + 2), F.element_at(toks, i + 3)
-                ),
+                # slice(toks, i+1, n): the gram width follows n — the
+                # element_at form this replaces hardwired 3 tokens and
+                # silently produced trigrams for any other n
+                lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
             ),
         ).otherwise(F.array().cast("array<string>"))
 
     return F.element_at(F.transform(F.array(_tokens(col)), lambda toks: F.array_distinct(_grams(toks))), 1)
+
+
+def _exact_jaccard(sh_a: str, sh_b: str):
+    """ROUND(|A ∩ B| / |A ∪ B|, 6) over two shingle-array columns — the
+    ONE verify expression both candidate families filter on (and the
+    SQL oracles mirror)."""
+    return F.round(
+        F.size(F.array_intersect(sh_a, sh_b)).cast("double")
+        / F.size(F.array_union(sh_a, sh_b)),
+        6,
+    )
 
 
 def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -90,7 +104,8 @@ GROUP BY 1
 """
 
 
-def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5) -> DataFrame:
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
+                        threshold: float = NGRAM_THRESHOLD) -> DataFrame:
     """Near-duplicate pairs by word-3-gram Jaccard >= threshold.
 
     Candidates come from a document-frequency-capped shingle inverted
@@ -138,17 +153,17 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.5
     survivors = (
         pair_stats.join(ma, "doc_a")
         .join(mb, "doc_b")
-        .filter(jac_upper >= threshold)
+        # margin = one 6-dp rounding step: the final filter (and the
+        # oracle) compare ROUND(jaccard, 6) >= threshold, so a tight
+        # upper bound (c_upper == c) at threshold - 5e-7 must survive
+        # the prune for the verify stage to decide it
+        .filter(jac_upper >= threshold - 1e-6)
         .select("doc_a", "doc_b")
     )
 
     sa = d.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
     sb = d.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    jac = F.round(
-        F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        / F.size(F.array_union("sh_a", "sh_b")),
-        6,
-    )
+    jac = _exact_jaccard("sh_a", "sh_b")
     return (
         survivors.join(sa, "doc_a")
         .join(sb, "doc_b")
@@ -188,7 +203,7 @@ SELECT c.doc_a, c.doc_b,
              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
 FROM cand c JOIN docs sa ON sa.doc_id = c.doc_a JOIN docs sb ON sb.doc_id = c.doc_b
 WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.5
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {NGRAM_THRESHOLD}
 """
 
 
@@ -219,7 +234,8 @@ def _minhash_base(d, col):
     return base.select("doc_id", "sh", "sig.*")
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) -> DataFrame:
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str,
+                      threshold: float = MINHASH_THRESHOLD) -> DataFrame:
     """MinHash+LSH near-dup candidates -> exact Jaccard verify.
 
     Banding: {N_BANDS} bands x {ROWS_PER_BAND} rows; candidates collide on
@@ -256,15 +272,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str, threshold: float = 0.4) 
     sb = base.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
     verified = (
         cand.join(sa, "doc_a").join(sb, "doc_b")
-        .select(
-            "doc_a",
-            "doc_b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
-        )
+        .select("doc_a", "doc_b", _exact_jaccard("sh_a", "sh_b").alias("jaccard"))
         .filter(F.col("jaccard") >= threshold)
     )
     return verified
@@ -307,7 +315,7 @@ SELECT c.doc_a, c.doc_b,
              / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) AS jaccard
 FROM cand c JOIN sigs sa ON sa.doc_id = c.doc_a JOIN sigs sb ON sb.doc_id = c.doc_b
 WHERE ROUND(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= 0.4
+            / len(list_distinct(list_concat(sa.sh, sb.sh))), 6) >= {MINHASH_THRESHOLD}
 """
 
 
@@ -366,7 +374,8 @@ GROUP BY doc_id
 
 
 def near_dup_clusters(
-    spark: SparkSession, sf_dir: str, threshold: float = 0.4, algorithm: str = "auto"
+    spark: SparkSession, sf_dir: str,
+    threshold: float = MINHASH_THRESHOLD, algorithm: str = "auto"
 ) -> DataFrame:
     """Connected components over the verified MinHash-LSH near-dup graph
     (``minhash_lsh_pairs``): every document appearing in at least one
@@ -414,7 +423,7 @@ GROUP BY doc_id
 def dedup_keep_canonical(
     spark: SparkSession,
     sf_dir: str,
-    threshold: float = 0.4,
+    threshold: float = MINHASH_THRESHOLD,
     clusters: DataFrame | None = None,
 ) -> DataFrame:
     """The consumer-facing dedup result: one canonical document per

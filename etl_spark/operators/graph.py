@@ -103,6 +103,12 @@ def connected_components(
                     f"label propagation did not converge in {rounds} rounds — "
                     "component diameter exceeds the bound; use algorithm='star'"
                 )
+            # auto-mode rescue: the caller's max_rounds bounded the
+            # PROPAGATION attempt; re-using it here would let a small
+            # bound spuriously fail the exact diameter-independent path
+            # this fallback exists to provide — star gets its own
+            # default (O(log^2 n) rounds covers any graph that fits)
+            return _star_contraction(pairs, loop_parts, MAX_STAR_ROUNDS)
         return _star_contraction(pairs, loop_parts, max_rounds or MAX_STAR_ROUNDS)
     finally:
         pairs.unpersist()

@@ -15,11 +15,23 @@ float64 — bit-identical across Spark and DuckDB.
 
 from __future__ import annotations
 
+import math
+
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 TREND_SCHEMA = "event_type string, n_days long, slope double, intercept double"
+
+
+def _round6(v: float) -> float:
+    """ROUND-half-away-from-zero at 6 dp — the SQL semantics DuckDB's
+    ROUND and Spark's F.round implement. Python's round() is banker's
+    (half-to-even), so an exact dyadic tie like 2**-7 = 0.0078125 would
+    hash-diverge from the oracle."""
+    if v != v:  # NaN
+        return v
+    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
 
 
 def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -42,8 +54,8 @@ def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n_days": [n],
-            "slope": [round(slope, 6)],
-            "intercept": [round(intercept, 6)],
+            "slope": [_round6(slope)],
+            "intercept": [_round6(intercept)],
         }
     )
 

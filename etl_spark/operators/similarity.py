@@ -73,49 +73,6 @@ SELECT query_id, neighbor_id, cosine, rk FROM (
 """
 
 
-def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Random-hyperplane LSH signatures: bit i = sign of <v, h_i> where
-    h_i's components are +/-1 derived from md5(plane||dim) — portable,
-    seedless determinism. Returns (vec_id, signature, bucket_size);
-    same-signature vectors are ANN candidates (the 100 TB join key)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", _as_double(F.col("embedding")).alias("emb"))
-
-    # hyperplane sign per (plane, dim) from md5 — built as SQL exprs so the
-    # DuckDB twin is textually parallel
-    sig_bits = []
-    for p in range(N_PLANES):
-        expr = f"""
-        CASE WHEN aggregate(
-            zip_with(emb, sequence(0, size(emb) - 1),
-                     (x, d) -> x * (CASE WHEN CAST(conv(substring(md5(concat('p|{p}|', CAST(d AS STRING))), 1, 1), 16, 10) AS INT) >= 8
-                                    THEN 1.0D ELSE -1.0D END)),
-            0.0D, (acc, v) -> acc + v) >= 0.0D THEN '1' ELSE '0' END
-        """
-        sig_bits.append(F.expr(expr))
-    sig = F.concat(*sig_bits).alias("signature")
-    sigs = e.select("vec_id", sig)
-    return sigs.groupBy("signature").agg(
-        F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
-    )
-
-
-LSH_ANN_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
-sigs AS (
-  SELECT vec_id,
-    {" || ".join(
-        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(emb)), "
-        f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
-        f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
-        for p in range(N_PLANES)
-    )} AS signature
-  FROM e
-)
-SELECT signature, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
-FROM sigs GROUP BY signature
-"""
-
-
 def _signature(emb_col: str = "emb", planes=None):
     """Random-hyperplane signature column over the given plane indices
     (default: the first N_PLANES). Shared by bucket stats, pair
@@ -140,6 +97,30 @@ def _duck_bit(p: int) -> str:
         f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
         f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
     )
+
+
+def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH signatures: bit i = sign of <v, h_i> where
+    h_i's components are +/-1 derived from md5(plane||dim) — portable,
+    seedless determinism. Returns (vec_id, signature, bucket_size);
+    same-signature vectors are ANN candidates (the 100 TB join key)."""
+    e = t(spark, sf_dir, "embeddings").select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    sigs = e.select("vec_id", _signature("emb").alias("signature"))
+    return sigs.groupBy("signature").agg(
+        F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
+    )
+
+
+LSH_ANN_SQL = f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+sigs AS (
+  SELECT vec_id,
+    {" || ".join(_duck_bit(p) for p in range(N_PLANES))} AS signature
+  FROM e
+)
+SELECT signature, COUNT(*) AS bucket_size, MIN(vec_id) AS min_vec_id
+FROM sigs GROUP BY signature
+"""
 
 
 def lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -294,12 +275,7 @@ LSH_ANN_PAIRS_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
 sigs AS (
   SELECT vec_id, emb,
-    {" || ".join(
-        f"(CASE WHEN list_aggregate(list_transform(generate_series(1, len(emb)), "
-        f"d -> emb[d] * (CASE WHEN CAST('0x' || substring(md5('p|{p}|' || CAST(d - 1 AS VARCHAR)), 1, 1) AS INT) >= 8 "
-        f"THEN 1.0 ELSE -1.0 END)), 'sum') >= 0.0 THEN '1' ELSE '0' END)"
-        for p in range(N_PLANES)
-    )} AS signature
+    {" || ".join(_duck_bit(p) for p in range(N_PLANES))} AS signature
   FROM e
 ),
 q AS (SELECT vec_id AS query_id, emb AS qemb, signature AS qsig FROM sigs WHERE vec_id < {N_QUERIES}),
