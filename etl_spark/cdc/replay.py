@@ -66,6 +66,37 @@ def _is_applied(watermark: int, residual: list[int], batch_id: int) -> bool:
     return batch_id <= watermark or batch_id in residual
 
 
+def check_wal_shape(bounds: dict, batches, watermark: int, residual: list[int]) -> None:
+    """Refuse the two silent-data-loss feed shapes: batch offset ranges
+    that do not ascend with batch ids (the offset fence would drop whole
+    batches), and application of a never-applied batch below an
+    already-applied id (its events are at/below the committed fence).
+    Shared by ``ReplayEngine.replay`` and the streaming tail."""
+    max_applied = max([watermark] + [int(x) for x in residual])
+    prev_b = prev_hi = None
+    for b in sorted(batches):
+        lo, hi = bounds.get(b, (None, None))
+        if lo is None:
+            continue
+        if prev_hi is not None and int(lo) <= int(prev_hi):
+            raise ValueError(
+                f"changelog is not WAL-shaped: batch {b} offset range "
+                f"[{lo}, {hi}] overlaps or precedes batch {prev_b} "
+                f"(ends at {prev_hi}) — batch ids must ascend with "
+                "offsets, or the offset fence silently drops whole "
+                "batches"
+            )
+        prev_b, prev_hi = b, hi
+        if b < max_applied and not _is_applied(watermark, residual, b):
+            raise ValueError(
+                f"out-of-order batch application: batch {b} was never "
+                f"applied but batch {max_applied} already was — the "
+                f"committed offset fence is past batch {b}'s events, "
+                "so applying it now would silently drop them. Apply "
+                "batches in ascending id order."
+            )
+
+
 def _compact_applied(watermark: int, ids) -> tuple[int, list[int]]:
     """Advance the contiguous-prefix watermark over ``ids`` and return
     (new watermark, sorted residual ids still above it). Batch ids are
@@ -659,29 +690,7 @@ class ReplayEngine:
         # docstring): non-WAL feeds and out-of-order application. The
         # snapshot parse is cached-handle metadata, not a Spark job.
         wm0, res0 = _applied_state(self.table.current_snapshot().properties)
-        max_applied = max([wm0] + [int(x) for x in res0])
-        prev_b = prev_hi = None
-        for b in sorted(batches):
-            lo, hi = bounds.get(b, (None, None))
-            if lo is None:
-                continue
-            if prev_hi is not None and int(lo) <= int(prev_hi):
-                raise ValueError(
-                    f"changelog is not WAL-shaped: batch {b} offset range "
-                    f"[{lo}, {hi}] overlaps or precedes batch {prev_b} "
-                    f"(ends at {prev_hi}) — batch ids must ascend with "
-                    "offsets, or the offset fence silently drops whole "
-                    "batches"
-                )
-            prev_b, prev_hi = b, hi
-            if b < max_applied and not _is_applied(wm0, res0, b):
-                raise ValueError(
-                    f"out-of-order batch application: batch {b} was never "
-                    f"applied but batch {max_applied} already was — the "
-                    f"committed offset fence is past batch {b}'s events, "
-                    "so applying it now would silently drop them. Apply "
-                    "batches in ascending id order."
-                )
+        check_wal_shape(bounds, batches, wm0, res0)
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
                 changelog, bounds, sorted(batches), delete_guard, pipeline_depth,

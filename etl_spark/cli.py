@@ -228,16 +228,41 @@ def main(argv: list[str] | None = None) -> int:
         }))
         return 0
 
-    engine = ReplayEngine(
-        spark, args.table, num_buckets=args.buckets, mode=args.mode,
-        compact_threshold=args.compact_threshold,
-        lww_strategy=args.lww_strategy,
-        tombstone_commit_watermark=args.tombstone_watermark,
-        compact_delta_fraction=args.compact_delta_fraction,
-        compact_sort=args.compact_sort,
-        expire_every=args.expire_every,
-        expire_keep_last=args.expire_keep_last,
-    )
+    from etl_spark.table.manifest import ManifestTable
+
+    attach_cmds = ("metrics", "state", "lookup", "expire", "compact", "rebucket")
+    # chain's downstream may not exist yet (the bootstrap sync creates
+    # it) — attach only when it does, so an existing table still opens
+    # under its recorded mode
+    if args.cmd in attach_cmds or (
+        args.cmd == "chain" and ManifestTable.exists(args.table)
+    ):
+        # inspection/maintenance: the table must already EXIST and opens
+        # under its RECORDED mode and key columns. Constructing here
+        # would silently CREATE an empty table at a typo'd --table path
+        # (state would print rows: 0 instead of erroring) and refuse a
+        # cow table under the default --mode mor.
+        engine = ReplayEngine.attach(
+            spark, args.table, num_buckets=args.buckets,
+            compact_threshold=args.compact_threshold,
+            lww_strategy=args.lww_strategy,
+            tombstone_commit_watermark=args.tombstone_watermark,
+            compact_delta_fraction=args.compact_delta_fraction,
+            compact_sort=args.compact_sort,
+            expire_every=args.expire_every,
+            expire_keep_last=args.expire_keep_last,
+        )
+    else:
+        engine = ReplayEngine(
+            spark, args.table, num_buckets=args.buckets, mode=args.mode,
+            compact_threshold=args.compact_threshold,
+            lww_strategy=args.lww_strategy,
+            tombstone_commit_watermark=args.tombstone_watermark,
+            compact_delta_fraction=args.compact_delta_fraction,
+            compact_sort=args.compact_sort,
+            expire_every=args.expire_every,
+            expire_keep_last=args.expire_keep_last,
+        )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
         classify = (

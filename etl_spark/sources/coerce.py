@@ -84,7 +84,15 @@ def coerce_string_columns(
     df: DataFrame, columns: list[str] | None = None, sample_fraction: float | None = None
 ) -> DataFrame:
     """Apply the inferred cast plan (explicit, logged in the plan itself —
-    ``df.schema`` after this call IS the coercion record)."""
+    ``df.schema`` after this call IS the coercion record).
+
+    Cleaning contract: EVERY covered column — including those the vote
+    keeps as string — is trimmed of leading/trailing whitespace with
+    empty strings nulled (``_clean``). That is a deliberate part of the
+    rule (the DuckDB oracle mirrors it), not an inference side effect:
+    callers whose string columns carry meaningful edge whitespace
+    (verbatim source code, fixed-width payloads) should exclude them
+    via ``columns=``."""
     plan = infer_cast_plan(df, columns, sample_fraction)
     out = df
     for c, typ in plan.items():

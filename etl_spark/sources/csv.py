@@ -59,7 +59,11 @@ def read_csv_pruned(
     # na_filter=False contract ('' stays '') on the string columns
     df = df.na.fill("", [c for c, typ in df.dtypes if typ == "string"])
     for c, fmt in (date_columns or {}).items():
-        df = df.withColumn(c, F.to_date(F.col(c), fmt))
+        # try_to_date, not to_date: under Spark 4's default ANSI mode a
+        # plain to_date THROWS on the empty cells this reader just
+        # restored (na_filter=False contract) — the pandas analog yields
+        # NaT, so unparseable/empty dates become null, not a job abort
+        df = df.withColumn(c, F.try_to_date(F.col(c), fmt))
     return df
 
 
@@ -126,7 +130,14 @@ def read_csv_repaired(
     """
     paths = [path] if isinstance(path, str) else list(path)
     first = _repair_lines(spark.read.text(paths[0]))
-    header_line = first.first()["line"]
+    header_row = first.first()
+    if header_row is None:
+        raise ValueError(
+            f"read_csv_repaired: {paths[0]!r} has no header line (empty "
+            "file) — the schema comes from the first file, so pass a "
+            "non-empty file first"
+        )
+    header_line = header_row["line"]
     names = [h.strip() for h in header_line.split(sep)]
     if n_columns is not None and len(names) < n_columns:
         names += [f"n/a {i + 1}" for i in range(n_columns - len(names))]

@@ -1,10 +1,12 @@
 """File discovery: glob + mtime window + latest-only (SURVEY.md S14/S15).
 
 The reference lists an SFTP directory, fnmatch-filters, and picks files
-by mtime (``src/sensum/sensum.py:80-89``, ``:46-58``). Spark-native:
-read the glob, then filter on the ``_metadata`` hidden column — the
-mtime/path predicates prune at the file index level, no driver-side
-listing loop.
+by mtime (``src/sensum/sensum.py:80-89``, ``:46-58``). The listing runs
+through the Hadoop FileSystem glob — the same resolver Spark's own scan
+planning uses, so any supported scheme (local, HDFS, S3A) works — NOT
+by deriving files from per-row ``_metadata``: a zero-row file has no
+rows, so row-derived metadata silently misses it and "latest file"
+would return the second-newest export whenever the newest one is empty.
 """
 
 from __future__ import annotations
@@ -24,10 +26,25 @@ def discover_files(
 ) -> DataFrame:
     """Return (file_path, file_size, file_modification_time) for the files
     a glob resolves to, optionally mtime-windowed — the discovery step as
-    a DataFrame (distinct over the scan's _metadata, touches no row data
-    beyond footers)."""
-    df = spark.read.format(fmt).load(pattern).select("_metadata.*")
-    meta = df.select("file_path", "file_size", "file_modification_time").distinct()
+    a DataFrame. ``fmt`` is kept for signature stability with
+    ``read_latest``; listing itself is format-agnostic (a directory
+    listing, exactly the reference's semantics — empty files included,
+    and a matched dataset DIRECTORY counts as one discoverable entry
+    under its own mtime)."""
+    jpath = spark._jvm.org.apache.hadoop.fs.Path(pattern)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    statuses = fs.globStatus(jpath)
+    rows = [
+        (
+            st.getPath().toString(),
+            int(st.getLen()),
+            dt.datetime.fromtimestamp(st.getModificationTime() / 1000.0),
+        )
+        for st in (statuses or [])
+    ]
+    meta = spark.createDataFrame(
+        rows, "file_path string, file_size long, file_modification_time timestamp"
+    )
     if modified_after is not None:
         meta = meta.filter(F.col("file_modification_time") >= F.lit(modified_after))
     if modified_before is not None:
@@ -42,6 +59,8 @@ def latest_file(spark: SparkSession, pattern: str, fmt: str = "parquet") -> str:
         .agg(F.max_by("file_path", "file_modification_time").alias("p"))
         .first()
     )
+    if row["p"] is None:
+        raise FileNotFoundError(f"no files match {pattern!r}")
     return row["p"]
 
 

@@ -89,10 +89,17 @@ def read_table(
             driver=driver,
             properties=properties,
         ).first()
-        lower_bound = bounds["LO"] if "LO" in bounds else bounds["lo"]
-        upper_bound = bounds["HI"] if "HI" in bounds else bounds["hi"]
+        # fill in ONLY the missing side — a caller-supplied bound is a
+        # deliberate range restriction (e.g. skip archived rows) and
+        # must not be overwritten by the table's true min/max
+        if lower_bound is None:
+            lower_bound = bounds["LO"] if "LO" in bounds else bounds["lo"]
+        if upper_bound is None:
+            upper_bound = bounds["HI"] if "HI" in bounds else bounds["hi"]
         if lower_bound is None:  # empty table: any valid range works
-            lower_bound, upper_bound = 0, 1
+            lower_bound = 0
+        if upper_bound is None:
+            upper_bound = int(lower_bound) + 1
     return (
         reader.option("dbtable", table)
         .option("partitionColumn", partition_column)

@@ -71,7 +71,11 @@ def fetch_pages(
     if pages_per_task:
         total = n_pages if n_pages is not None else pages.count()
         n = max(1, -(-total // pages_per_task))
-        pages = pages.repartition(n, "page_id")
+        # range partitioning, not hash: the documented contract is that
+        # each task owns a CONTIGUOUS run of pages (sequential offsets
+        # per connection — range-local backends cache those); a hash
+        # repartition scatters page ids and can skew task sizes
+        pages = pages.repartitionByRange(n, "page_id")
 
     def pull(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
         for b in batches:

@@ -66,10 +66,32 @@ def xml_records(xml_col: Column, record_tag: str, schema: str) -> Column:
 
 
 def read_xml_rows(
-    df: DataFrame, xml_col: str, record_tag: str, schema: str
+    df: DataFrame, xml_col: str, record_tag: str, schema: str,
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """Explode one row per XML record (the ``pd.read_xml(xpath=...)``
-    analog, distributed)."""
+    analog, distributed).
+
+    By default, rows whose document is malformed (or valid but contains
+    no <record_tag>) produce no output rows — the explode drops them,
+    so input/output counts differ with no signal. Pass ``corrupt_col``
+    to keep ONE null-record row per malformed document, flagged true in
+    that column (the ``columnNameOfCorruptRecord`` pattern): callers can
+    count/route corruption instead of losing the rows' key columns."""
     recs = xml_records(F.col(xml_col), record_tag, schema)
     other = [c for c in df.columns if c != xml_col]
-    return df.select(*other, F.explode(recs).alias("_rec")).select(*other, "_rec.*")
+    if corrupt_col is None:
+        return df.select(*other, F.explode(recs).alias("_rec")).select(*other, "_rec.*")
+    # null array = parse error; empty array = valid doc with no records.
+    # explode_outer cannot distinguish the two, so flag first and keep
+    # only real records plus the flagged corrupt rows.
+    flagged = df.select(
+        *other,
+        F.col(xml_col).isNotNull().alias("__had_doc"),
+        recs.alias("__recs"),
+    ).withColumn(corrupt_col, F.col("__had_doc") & F.col("__recs").isNull())
+    return (
+        flagged.select(*other, corrupt_col, F.explode_outer("__recs").alias("_rec"))
+        .filter(F.col("_rec").isNotNull() | F.col(corrupt_col))
+        .select(*other, "_rec.*", corrupt_col)
+    )

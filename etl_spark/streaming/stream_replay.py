@@ -25,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.cdc.replay import ReplayEngine
+from etl_spark.cdc.replay import ReplayEngine, _applied_state, check_wal_shape
 from etl_spark.schema import CHANGE_LOG_SCHEMA
 
 
@@ -70,15 +70,69 @@ def stream_replay(
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     stream = reader.parquet(changelog_dir)
 
+    # ---- partial-batch carry -------------------------------------------
+    # A trigger chunk can SPLIT a logical WAL batch across micro-batches
+    # (part-file boundaries don't align with batch ids). Applying the
+    # partial batch would mark its id applied and fence at the partial
+    # max offset — the batch's remaining events in the next trigger
+    # would be silently discarded. So each trigger applies only the
+    # batches PROVEN complete (the WAL contract says ids ascend with
+    # offsets, so the first event of id b+1 proves id b is complete) and
+    # stages the highest id's events in a carry directory the next
+    # trigger unions in. Epoch-versioned subdirs make every crash window
+    # idempotent: a trigger only READS carries of earlier epochs (its
+    # own, possibly half-written on redelivery, is output), stale dirs
+    # hold already-applied events the offset fence drops, and the final
+    # drain applies whatever remains once the backlog is exhausted.
+    carry_root = checkpoint_dir.rstrip("/") + "/batch_carry"
+    jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+    fs = jvm_path(carry_root).getFileSystem(spark._jsc.hadoopConfiguration())
+
+    def _carry_dirs(before_epoch: int | None = None) -> list[str]:
+        root = jvm_path(carry_root)
+        if not fs.exists(root):
+            return []
+        out = []
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not name.startswith("v="):
+                continue
+            v = int(name[2:])
+            if before_epoch is None or v < before_epoch:
+                out.append(st.getPath().toString())
+        return sorted(out)
+
     def _apply(micro_batch: DataFrame, epoch_id: int) -> None:
-        # a micro-batch may span several logical WAL batches; apply them
-        # in batch-id order so the fence only ever moves forward
-        ids = [
-            r[0]
-            for r in micro_batch.select("batch_id").distinct().orderBy("batch_id").collect()
-        ]
-        for b in ids:
-            engine.apply_batch(micro_batch.filter(F.col("batch_id") == b), int(b), schema_ops)
+        mb = micro_batch
+        prior = _carry_dirs(before_epoch=int(epoch_id))
+        if prior:
+            mb = mb.unionByName(spark.read.schema(CHANGE_LOG_SCHEMA).parquet(*prior))
+        bounds = {
+            r["batch_id"]: (r["lo"], r["hi"])
+            for r in mb.groupBy("batch_id")
+            .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+            .collect()
+        }
+        ids = sorted(bounds)
+        if not ids:
+            return
+        # same loud refusal as the batch replay loop: a non-WAL feed or
+        # out-of-order redelivery must fail, not fence-drop silently
+        wm, residual = _applied_state(engine.table.current_snapshot().properties)
+        check_wal_shape(bounds, ids, wm, residual)
+        # stage the (possibly still open) highest batch BEFORE applying:
+        # apply order then matches commit order, and a crash anywhere
+        # re-runs this epoch idempotently (applied ids skip, the carry
+        # subdir is overwritten)
+        mb.filter(F.col("batch_id") == ids[-1]).write.mode("overwrite").parquet(
+            f"{carry_root}/v={int(epoch_id)}"
+        )
+        for b in ids[:-1]:
+            engine.apply_batch(mb.filter(F.col("batch_id") == b), int(b), schema_ops)
+        # superseded carries (their unapplied remainder was re-staged
+        # above; anything else is fenced) — cleanup is safe to lose
+        for d in prior:
+            fs.delete(jvm_path(d), True)
 
     (
         stream.writeStream.foreachBatch(_apply)
@@ -87,4 +141,18 @@ def stream_replay(
         .start()
         .awaitTermination()
     )
+    # backlog drained: the carried batch has no more events coming
+    # (AvailableNow treats end-of-log as batch close) — apply it now.
+    # Re-running after a crash here is a no-op: the id is applied, the
+    # fence drops its events, and the carry is re-deleted.
+    leftover_dirs = _carry_dirs()
+    if leftover_dirs:
+        leftover = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(*leftover_dirs)
+        for b in sorted(
+            r[0] for r in leftover.select("batch_id").distinct().collect()
+        ):
+            engine.apply_batch(
+                leftover.filter(F.col("batch_id") == b), int(b), schema_ops
+            )
+        fs.delete(jvm_path(carry_root), True)
     return engine
