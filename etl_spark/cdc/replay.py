@@ -66,12 +66,20 @@ def _is_applied(watermark: int, residual: list[int], batch_id: int) -> bool:
     return batch_id <= watermark or batch_id in residual
 
 
-def check_wal_shape(bounds: dict, batches, watermark: int, residual: list[int]) -> None:
-    """Refuse the two silent-data-loss feed shapes: batch offset ranges
+def check_wal_shape(
+    bounds: dict, batches, watermark: int, residual: list[int],
+    fence: int | None = None,
+) -> None:
+    """Refuse the three silent-data-loss feed shapes: batch offset ranges
     that do not ascend with batch ids (the offset fence would drop whole
-    batches), and application of a never-applied batch below an
-    already-applied id (its events are at/below the committed fence).
-    Shared by ``ReplayEngine.replay`` and the streaming tail."""
+    batches), application of a never-applied batch below an
+    already-applied id (its events are at/below the committed fence),
+    and — when ``fence`` is given — events arriving for an
+    ALREADY-APPLIED batch id above the committed fence (a "reopened"
+    batch: a previous run treated end-of-log as batch close while the
+    producer was still appending; the id-level skip would discard the
+    late tail with no error). Shared by ``ReplayEngine.replay`` and the
+    streaming tail."""
     max_applied = max([watermark] + [int(x) for x in residual])
     prev_b = prev_hi = None
     for b in sorted(batches):
@@ -94,6 +102,20 @@ def check_wal_shape(bounds: dict, batches, watermark: int, residual: list[int]) 
                 f"committed offset fence is past batch {b}'s events, "
                 "so applying it now would silently drop them. Apply "
                 "batches in ascending id order."
+            )
+        if (
+            fence is not None
+            and _is_applied(watermark, residual, b)
+            and int(hi) > int(fence)
+        ):
+            raise ValueError(
+                f"batch {b} was already applied and fenced at offset "
+                f"{fence}, but new events up to offset {hi} arrived under "
+                "the same batch id — the WAL reopened a closed batch "
+                "(e.g. an availableNow run drained while the producer was "
+                "still appending this batch's files). The id-level "
+                "exactly-once skip would silently discard the late tail; "
+                "re-emit those events under a NEW batch id instead."
             )
 
 
@@ -260,15 +282,30 @@ class ReplayEngine:
         and key columns both come from the table's own properties, so
         this is the safe way to open a table you didn't just create
         (constructing with wrong keys mis-buckets merges; wrong mode
-        mis-reads mor tables — both are refused by the constructor)."""
+        mis-reads mor tables — both are refused by the constructor).
+
+        A ``mode`` kwarg is treated as a HINT, not an override: it is
+        refused if it conflicts with the recorded mode (never silently
+        ignored), and it decides the mode only for legacy tables that
+        predate the ``engine_mode`` property. With no recording and no
+        hint the fallback is ``mor`` — the safe direction: a mor read of
+        a cow table just resolves a delta-less base (identity), whereas
+        a cow read of a mor table silently returns raw base+delta rows."""
         if not ManifestTable.exists(table_root):
             raise ValueError(f"no table at {table_root!r}")
         props = ManifestTable.peek_properties(table_root)
-        kwargs.pop("mode", None)
+        hint = kwargs.pop("mode", None)
+        recorded = props.get("engine_mode")
+        if recorded and hint and hint != recorded:
+            raise ValueError(
+                f"table at {table_root!r} records engine_mode={recorded!r}; "
+                f"the requested mode={hint!r} conflicts. Attach without a "
+                "mode (the recorded one wins) or pass the recorded mode."
+            )
         kwargs.pop("key_columns", None)
         return ReplayEngine(
             spark, table_root,
-            mode=props.get("engine_mode", "cow"),
+            mode=recorded or hint or "mor",
             key_columns=props.get("key_columns"),
             **kwargs,
         )
@@ -689,8 +726,12 @@ class ReplayEngine:
         # refuse the two silent-data-loss shapes up front (see
         # docstring): non-WAL feeds and out-of-order application. The
         # snapshot parse is cached-handle metadata, not a Spark job.
-        wm0, res0 = _applied_state(self.table.current_snapshot().properties)
-        check_wal_shape(bounds, batches, wm0, res0)
+        props0 = self.table.current_snapshot().properties
+        wm0, res0 = _applied_state(props0)
+        check_wal_shape(
+            bounds, batches, wm0, res0,
+            fence=int(props0.get("fence_offset", -1)),
+        )
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
                 changelog, bounds, sorted(batches), delete_guard, pipeline_depth,

@@ -35,7 +35,12 @@ def _build_parser() -> argparse.ArgumentParser:
     def common(sp):
         sp.add_argument("--table", required=True, help="lake table root directory")
         sp.add_argument("--buckets", type=int, default=16)
-        sp.add_argument("--mode", choices=["cow", "mor"], default="mor")
+        sp.add_argument(
+            "--mode", choices=["cow", "mor"], default=None,
+            help="table mode; default mor when creating a new table. For "
+            "an existing table the RECORDED mode wins and a conflicting "
+            "explicit value is refused (never silently ignored)",
+        )
         sp.add_argument("--compact-threshold", type=int, default=8)
         sp.add_argument(
             "--lww-strategy", choices=["broadcast", "agg", "salted"], default="broadcast",
@@ -211,7 +216,8 @@ def main(argv: list[str] | None = None) -> int:
         engine, results = run_sd_delta_flagship(
             spark, args.table, feed, args.config_csv,
             status_dim=status_dim, delete_guard=guard,
-            status_col=args.status_col, mode=args.mode, num_buckets=args.buckets,
+            status_col=args.status_col, mode=args.mode or "mor",
+            num_buckets=args.buckets,
             lww_strategy=args.lww_strategy,
             compact_threshold=args.compact_threshold,
             tombstone_commit_watermark=args.tombstone_watermark,
@@ -230,6 +236,16 @@ def main(argv: list[str] | None = None) -> int:
 
     from etl_spark.table.manifest import ManifestTable
 
+    engine_kwargs = dict(
+        num_buckets=args.buckets,
+        compact_threshold=args.compact_threshold,
+        lww_strategy=args.lww_strategy,
+        tombstone_commit_watermark=args.tombstone_watermark,
+        compact_delta_fraction=args.compact_delta_fraction,
+        compact_sort=args.compact_sort,
+        expire_every=args.expire_every,
+        expire_keep_last=args.expire_keep_last,
+    )
     attach_cmds = ("metrics", "state", "lookup", "expire", "compact", "rebucket")
     # chain's downstream may not exist yet (the bootstrap sync creates
     # it) — attach only when it does, so an existing table still opens
@@ -240,28 +256,15 @@ def main(argv: list[str] | None = None) -> int:
         # inspection/maintenance: the table must already EXIST and opens
         # under its RECORDED mode and key columns. Constructing here
         # would silently CREATE an empty table at a typo'd --table path
-        # (state would print rows: 0 instead of erroring) and refuse a
-        # cow table under the default --mode mor.
+        # (state would print rows: 0 instead of erroring). An explicit
+        # --mode is a hint attach REFUSES on conflict — never silently
+        # drops — and honors for legacy tables without a recorded mode.
         engine = ReplayEngine.attach(
-            spark, args.table, num_buckets=args.buckets,
-            compact_threshold=args.compact_threshold,
-            lww_strategy=args.lww_strategy,
-            tombstone_commit_watermark=args.tombstone_watermark,
-            compact_delta_fraction=args.compact_delta_fraction,
-            compact_sort=args.compact_sort,
-            expire_every=args.expire_every,
-            expire_keep_last=args.expire_keep_last,
+            spark, args.table, mode=args.mode, **engine_kwargs
         )
     else:
         engine = ReplayEngine(
-            spark, args.table, num_buckets=args.buckets, mode=args.mode,
-            compact_threshold=args.compact_threshold,
-            lww_strategy=args.lww_strategy,
-            tombstone_commit_watermark=args.tombstone_watermark,
-            compact_delta_fraction=args.compact_delta_fraction,
-            compact_sort=args.compact_sort,
-            expire_every=args.expire_every,
-            expire_keep_last=args.expire_keep_last,
+            spark, args.table, mode=args.mode or "mor", **engine_kwargs
         )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
@@ -279,7 +282,7 @@ def main(argv: list[str] | None = None) -> int:
 
         stream_replay(
             spark, args.changelog, args.table, args.checkpoint,
-            num_buckets=args.buckets, mode=args.mode,
+            num_buckets=args.buckets, mode=args.mode or "mor",
             compact_threshold=args.compact_threshold,
             lww_strategy=args.lww_strategy,
             tombstone_commit_watermark=args.tombstone_watermark,

@@ -30,26 +30,28 @@ def discover_files(
     ``read_latest``; listing itself is format-agnostic (a directory
     listing, exactly the reference's semantics — empty files included,
     and a matched dataset DIRECTORY counts as one discoverable entry
-    under its own mtime)."""
+    under its own mtime).
+
+    The mtime window prunes WHILE iterating the listing, before any row
+    is materialized — out-of-window entries cost one comparison each.
+    The listing itself is a driver-side glob (the export directories
+    this models hold 10^2-10^4 files); for 10^6-file trees, point the
+    pattern at date-partitioned subdirectories so the glob — not the
+    window filter — bounds the listing."""
     jpath = spark._jvm.org.apache.hadoop.fs.Path(pattern)
     fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
     statuses = fs.globStatus(jpath)
-    rows = [
-        (
-            st.getPath().toString(),
-            int(st.getLen()),
-            dt.datetime.fromtimestamp(st.getModificationTime() / 1000.0),
-        )
-        for st in (statuses or [])
-    ]
-    meta = spark.createDataFrame(
+    rows = []
+    for st in statuses or []:
+        mtime = dt.datetime.fromtimestamp(st.getModificationTime() / 1000.0)
+        if modified_after is not None and mtime < modified_after:
+            continue
+        if modified_before is not None and mtime > modified_before:
+            continue
+        rows.append((st.getPath().toString(), int(st.getLen()), mtime))
+    return spark.createDataFrame(
         rows, "file_path string, file_size long, file_modification_time timestamp"
     )
-    if modified_after is not None:
-        meta = meta.filter(F.col("file_modification_time") >= F.lit(modified_after))
-    if modified_before is not None:
-        meta = meta.filter(F.col("file_modification_time") <= F.lit(modified_before))
-    return meta
 
 
 def latest_file(spark: SparkSession, pattern: str, fmt: str = "parquet") -> str:

@@ -82,6 +82,13 @@ def read_xml_rows(
     other = [c for c in df.columns if c != xml_col]
     if corrupt_col is None:
         return df.select(*other, F.explode(recs).alias("_rec")).select(*other, "_rec.*")
+    if corrupt_col in df.columns or corrupt_col in ("__had_doc", "__recs"):
+        raise ValueError(
+            f"corrupt_col {corrupt_col!r} collides with an existing input "
+            "column (or an internal staging name) — withColumn would "
+            "silently REPLACE that column's data with the corruption "
+            "flag. Pick an unused name."
+        )
     # null array = parse error; empty array = valid doc with no records.
     # explode_outer cannot distinguish the two, so flag first and keep
     # only real records plus the flagged corrupt rows.

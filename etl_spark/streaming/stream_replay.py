@@ -81,9 +81,18 @@ def stream_replay(
     # stages the highest id's events in a carry directory the next
     # trigger unions in. Epoch-versioned subdirs make every crash window
     # idempotent: a trigger only READS carries of earlier epochs (its
-    # own, possibly half-written on redelivery, is output), stale dirs
-    # hold already-applied events the offset fence drops, and the final
-    # drain applies whatever remains once the backlog is exhausted.
+    # own, possibly half-written on redelivery, is output), and the
+    # final drain applies whatever remains once the backlog is
+    # exhausted. Deletion is DEFERRED one epoch: epoch N deletes all
+    # prior carries EXCEPT the newest — epoch N's own commit file is not
+    # durable until after _apply returns, so deleting v=N-1 here would
+    # lose the carried events if the driver dies before the commit and
+    # redelivery rebuilds v=N from the micro-batch alone. Keeping the
+    # newest prior is safe in both directions: its unapplied remainder
+    # is a subset of the new carry (duplicates are removed by the
+    # offset-level dropDuplicates below), and everything older than the
+    # newest prior is a subset of IT, so prior[:-1] can go even before
+    # the commit.
     carry_root = checkpoint_dir.rstrip("/") + "/batch_carry"
     jvm_path = spark._jvm.org.apache.hadoop.fs.Path
     fs = jvm_path(carry_root).getFileSystem(spark._jsc.hadoopConfiguration())
@@ -107,6 +116,11 @@ def stream_replay(
         prior = _carry_dirs(before_epoch=int(epoch_id))
         if prior:
             mb = mb.unionByName(spark.read.schema(CHANGE_LOG_SCHEMA).parquet(*prior))
+            # the two surviving carries overlap by construction (the
+            # newer one was built FROM the older) — offsets are the
+            # WAL's unique event ids, so this is an exact dedupe and
+            # keeps apply metrics (rows_in) honest
+            mb = mb.dropDuplicates(["batch_id", "offset"])
         bounds = {
             r["batch_id"]: (r["lo"], r["hi"])
             for r in mb.groupBy("batch_id")
@@ -116,10 +130,16 @@ def stream_replay(
         ids = sorted(bounds)
         if not ids:
             return
-        # same loud refusal as the batch replay loop: a non-WAL feed or
-        # out-of-order redelivery must fail, not fence-drop silently
-        wm, residual = _applied_state(engine.table.current_snapshot().properties)
-        check_wal_shape(bounds, ids, wm, residual)
+        # same loud refusal as the batch replay loop: a non-WAL feed,
+        # out-of-order redelivery, or a REOPENED batch (new events under
+        # an already-applied id — a previous run drained mid-batch) must
+        # fail, not fence-drop silently
+        props = engine.table.current_snapshot().properties
+        wm, residual = _applied_state(props)
+        check_wal_shape(
+            bounds, ids, wm, residual,
+            fence=int(props.get("fence_offset", -1)),
+        )
         # stage the (possibly still open) highest batch BEFORE applying:
         # apply order then matches commit order, and a crash anywhere
         # re-runs this epoch idempotently (applied ids skip, the carry
@@ -129,9 +149,10 @@ def stream_replay(
         )
         for b in ids[:-1]:
             engine.apply_batch(mb.filter(F.col("batch_id") == b), int(b), schema_ops)
-        # superseded carries (their unapplied remainder was re-staged
-        # above; anything else is fenced) — cleanup is safe to lose
-        for d in prior:
+        # deferred cleanup: the newest prior carry outlives this epoch
+        # (see the carry comment above) — everything older is a subset
+        # of it and can go now
+        for d in prior[:-1]:
             fs.delete(jvm_path(d), True)
 
     (
@@ -147,7 +168,9 @@ def stream_replay(
     # fence drops its events, and the carry is re-deleted.
     leftover_dirs = _carry_dirs()
     if leftover_dirs:
-        leftover = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(*leftover_dirs)
+        leftover = spark.read.schema(CHANGE_LOG_SCHEMA).parquet(
+            *leftover_dirs
+        ).dropDuplicates(["batch_id", "offset"])
         for b in sorted(
             r[0] for r in leftover.select("batch_id").distinct().collect()
         ):

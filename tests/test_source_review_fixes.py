@@ -119,3 +119,23 @@ def test_cli_state_refuses_missing_table(spark, tmp_path, capsys):
         main(["state", "--table", missing])
     # and it did NOT create an empty table at the typo'd path
     assert not os.path.exists(missing)
+
+
+def test_cli_mode_hint_refused_on_conflict(spark, tmp_path):
+    """--mode on attach commands is a refused-on-conflict hint, never
+    silently dropped; omitting it opens the recorded mode."""
+    from etl_spark.cdc.replay import ReplayEngine
+    from etl_spark.cli import main
+
+    root = str(tmp_path / "cow_table")
+    ReplayEngine(spark, root, num_buckets=4, mode="cow")
+    with pytest.raises(ValueError, match="conflicts"):
+        main(["state", "--table", root, "--mode", "mor"])
+    assert main(["state", "--table", root]) == 0
+    assert main(["state", "--table", root, "--mode", "cow"]) == 0
+
+
+def test_xml_corrupt_col_collision_refused(spark):
+    df = spark.createDataFrame([("k1", "<r><rec><a>1</a></rec></r>")], "id string, doc string")
+    with pytest.raises(ValueError, match="collides"):
+        read_xml_rows(df, "doc", "rec", "a string", corrupt_col="id")

@@ -170,3 +170,43 @@ def test_stream_replay_survives_batch_splitting_triggers(spark, tmp_path, change
     import os
 
     assert not os.path.exists(str(tmp_path / "ck_split" / "batch_carry"))
+
+
+def test_stream_refuses_reopened_batch_across_runs(spark, tmp_path, changelog):
+    """An availableNow run that drains while the producer is still
+    appending the last batch's files marks that id applied at a partial
+    fence. The NEXT run must refuse the late tail loudly (reopened-batch
+    guard) — before the guard, the id-level exactly-once skip silently
+    discarded those events."""
+    last = GEN["num_batches"] - 1
+    tail = changelog.filter(F.col("batch_id") == last)
+    offs = sorted(r[0] for r in tail.select("offset").collect())
+    cut = offs[len(offs) // 2]
+
+    wal = tmp_path / "wal_reopen"
+    changelog.filter(
+        (F.col("batch_id") < last) | (F.col("offset") <= cut)
+    ).coalesce(1).write.mode("append").parquet(str(wal))
+    ckpt = str(tmp_path / "ck_reopen")
+    e1 = stream_replay(spark, str(wal), str(tmp_path / "t_reopen"), ckpt, num_buckets=4)
+    assert sorted(e1.applied_batches()) == list(range(GEN["num_batches"]))
+    assert e1.fence_offset() == cut
+
+    # producer finishes the batch after the drain
+    tail.filter(F.col("offset") > cut).coalesce(1).write.mode("append").parquet(str(wal))
+    with pytest.raises(Exception, match="reopened a closed batch"):
+        stream_replay(spark, str(wal), str(tmp_path / "t_reopen"), ckpt, num_buckets=4)
+
+
+def test_batch_replay_refuses_reopened_batch(spark, tmp_path, changelog):
+    """Same guard on the batch replay loop: events arriving for an
+    already-applied batch id ABOVE the committed fence are refused, not
+    skipped away."""
+    offs = sorted(
+        r[0] for r in changelog.filter(F.col("batch_id") == 0).select("offset").collect()
+    )
+    cut = offs[len(offs) // 2]
+    eng = ReplayEngine(spark, str(tmp_path / "t_breopen"), num_buckets=4)
+    eng.replay(changelog.filter(F.col("offset") <= cut), batches=[0])
+    with pytest.raises(ValueError, match="reopened a closed batch"):
+        eng.replay(changelog)
