@@ -7,8 +7,10 @@ rule here, used three ways:
 
 1. ``normalize_content`` — scalar, pure; imported by the pandas/DuckDB
    oracle in tests.
-2. ``normalize_series`` — vectorized pandas implementation (same rule,
-   pandas ``.str`` kernels; no per-row Python in the hot path).
+2. ``normalize_series`` — Arrow-batched pandas implementation: the same
+   scalar mapped over the batch (measured FASTER than the chained
+   ``.str`` formulation — see its docstring; the batching is in the
+   Arrow transfer, not the string kernels).
 3. ``normalize_udf`` — Arrow-batched pandas_udf wrapping (2) for Spark.
 
 Hashing itself stays JVM-side (``F.sha2(col, 256)``) — identical hex
@@ -93,10 +95,8 @@ def content_sha256_col(content: Column) -> Column:
 
 
 def with_content_sha256(df: DataFrame, content_col: str = "content", out_col: str = "content_sha256") -> DataFrame:
-    """Attach the canonical fingerprint column; null content -> null hash."""
-    return df.withColumn(
-        out_col,
-        F.when(F.col(content_col).isNull(), F.lit(None).cast("string")).otherwise(
-            content_sha256_col(F.col(content_col))
-        ),
-    )
+    """Attach the canonical fingerprint column; null content -> null hash
+    (the fused UDF's own None branch is the null guard — a CASE WHEN
+    around it would skip no work: ArrowEvalPython evaluates the UDF on
+    every row regardless of the conditional)."""
+    return df.withColumn(out_col, content_sha256_col(F.col(content_col)))

@@ -21,6 +21,12 @@ Config shape (one dict):
                 "cast": "decimal(18,2)"}],
       "renames": {"c_mktsegment": "segment"}      # F17 bulk rename
     }
+
+Name collisions (self-joins / re-joined tables): a right-side join key
+whose name already exists in the running frame is dropped after the
+join (USING semantics — reference the left copy downstream); a collided
+non-key right column is renamed with an ``_r`` suffix before the join
+(the pandas-merge suffix behavior, made deterministic).
 """
 
 from __future__ import annotations
@@ -46,11 +52,30 @@ def build_merge_plan(spark: SparkSession, sf_dir: str, config: dict) -> DataFram
         right = spark.read.parquet(f"{sf_dir}/{j['table']}.parquet")
         if sel := j.get("select"):
             right = right.select(*sel)
+        # name-collision policy (self-joins, re-joined tables, shared
+        # key names — duplicate names break every downstream by-name
+        # reference with AMBIGUOUS_REFERENCE): right-side JOIN KEYS that
+        # collide are dropped after the join (USING semantics — the left
+        # copy is equal on matches, and the right is null on outer
+        # misses), and collided NON-key right columns are suffixed
+        # ``_r`` before it (the pandas-merge suffix behavior of the
+        # reference's mini-IR, deterministic instead of _x/_y).
+        before = set(df.columns)
+        keys = {rk for _, rk in j["on"]}
+        for c in right.columns:
+            if c in before and c not in keys:
+                new = c + "_r"
+                while new in before or new in right.columns:
+                    new += "_r"
+                right = right.withColumnRenamed(c, new)
         cond = None
         for left_key, right_key in j["on"]:
             piece = df[left_key] == right[right_key]
             cond = piece if cond is None else (cond & piece)
         df = df.join(right, cond, j.get("how", "inner"))
+        for _, right_key in j["on"]:
+            if right_key in before:
+                df = df.drop(right[right_key])
     for predicate in config.get("filters", []):
         df = df.filter(predicate)
     if group_by := config.get("group_by"):

@@ -19,6 +19,19 @@ from pyspark.sql import SparkSession
 DEFAULT_SHUFFLE_PARTITIONS = int(os.environ.get("ETL_SPARK_SHUFFLE_PARTITIONS", "32"))
 
 
+def _external_jvm(env=None) -> bool:
+    """True when the driver JVM already exists — spark-submit exports the
+    gateway port before exec'ing the Python driver, and that is the ONLY
+    reliable launch-path signal (spark-submit sets no ``SPARK_SUBMIT``-
+    style env var). When true, JVM-launch-time settings belong to
+    spark-submit's own flags: builder-set driver memory / GC options are
+    silently ignored by a running JVM, and a builder-set master would
+    OVERRIDE the submitted ``--master`` and pull a cluster job back to
+    ``local[*]``."""
+    e = os.environ if env is None else env
+    return "PYSPARK_GATEWAY_PORT" in e
+
+
 def build_session(
     app_name: str = "etl-spark",
     master: str | None = None,
@@ -28,9 +41,13 @@ def build_session(
     """Build (or reuse) a SparkSession with engine defaults.
 
     ``master`` defaults to ``local[$SPARK_GRAFT_CPUS|*]`` when not running
-    under spark-submit (which supplies its own master).
+    under spark-submit (which supplies its own master — see
+    ``_external_jvm``). Driver memory / GC flags are likewise only set
+    when this process launches the JVM itself; under spark-submit pass
+    ``--driver-memory`` / ``--driver-java-options``.
     """
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    external = _external_jvm()
     builder = (
         SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
@@ -56,8 +73,15 @@ def build_session(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.parquet.compression.codec", "snappy")
         .config("spark.sql.session.timeZone", "UTC")
-        .config("spark.driver.memory", os.environ.get("ETL_SPARK_DRIVER_MEM", "8g"))
-        .config(
+        .config("spark.ui.enabled", "false")
+    )
+    if not external:
+        # JVM-launch-time settings — effective only because plain-python
+        # launches forward builder conf into the gateway command line;
+        # a pre-existing (spark-submit) JVM would silently ignore them
+        builder = builder.config(
+            "spark.driver.memory", os.environ.get("ETL_SPARK_DRIVER_MEM", "8g")
+        ).config(
             "spark.driver.extraJavaOptions",
             os.environ.get(
                 # throughput collector, GC threads capped: batch ingest
@@ -68,11 +92,9 @@ def build_session(
                 "-XX:+UseParallelGC -XX:ParallelGCThreads=8",
             ),
         )
-        .config("spark.ui.enabled", "false")
-    )
     if master is not None:
         builder = builder.master(master)
-    elif "SPARK_SUBMIT" not in os.environ and not os.environ.get("SPARK_MASTER"):
+    elif not external and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(f"local[{cpus}]")
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

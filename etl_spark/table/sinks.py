@@ -50,8 +50,18 @@ def ensure_table(
     key_columns: list[str],
     num_buckets: int = 16,
 ) -> ManifestTable:
-    """K8: CREATE TABLE IF NOT EXISTS for the manifest format."""
+    """K8: CREATE TABLE IF NOT EXISTS for the manifest format.
+
+    On the EXISTS path the definition is validated eagerly: mismatched
+    ``key_columns`` raise here (via the handle's recorded-layout check)
+    instead of at the first read/merge, and ``columns``/``num_buckets``
+    follow IF-NOT-EXISTS semantics — they describe the CREATE case and
+    the recorded table wins (the handle plans against the snapshot's own
+    bucket count and schema, so a differing request here is inert, never
+    silently adopted)."""
     if ManifestTable.exists(root):
-        return ManifestTable(spark, root, key_columns)
+        t = ManifestTable(spark, root, key_columns)
+        t.current_snapshot()  # raises on key_columns mismatch — fail at ensure, not first use
+        return t
     schema = TableSchema([ColumnDef(i, n, t) for i, n, t in columns])
     return ManifestTable.create(spark, root, schema, key_columns=key_columns, num_buckets=num_buckets)

@@ -43,7 +43,14 @@ def _merge_col(acc: dict, name: str, st) -> None:
     if st is None:
         c["unknown"] = True
         return
-    c["nulls"] += st.null_count or 0
+    if st.has_null_count:
+        c["nulls"] += st.null_count
+    else:
+        # a footer may record bounds without a null count — 'unknown'
+        # must not be conflated with 'zero' (a null-aware consumer
+        # reading a definite 0 for a column that HAS nulls would be
+        # unsound the day one exists; bounds stay usable either way)
+        c["nulls_unknown"] = True
     if not st.has_min_max:
         if st.num_values:
             c["unknown"] = True
@@ -99,13 +106,20 @@ def collect_dir_stats(dir_path: str, columns: list[str]) -> dict:
             for name, c in acc.items():
                 m = merged.setdefault(name, {"nulls": 0})
                 m["nulls"] += c["nulls"]
+                if c.get("nulls_unknown"):
+                    m["nulls_unknown"] = True
                 if c.get("unknown"):
                     m["unknown"] = True
                 elif "min" in c:  # all-null files contribute nulls only
                     m["min"] = c["min"] if "min" not in m else min(m["min"], c["min"])
                     m["max"] = c["max"] if "max" not in m else max(m["max"], c["max"])
     stats = {
-        name: {"min": m["min"], "max": m["max"], "nulls": m["nulls"]}
+        name: {
+            "min": m["min"], "max": m["max"],
+            # None = at least one chunk omitted its null count (unknown,
+            # not zero); bounds-based pruning never consults this field
+            "nulls": None if m.get("nulls_unknown") else m["nulls"],
+        }
         for name, m in merged.items()
         if not m.get("unknown") and "min" in m
     }
