@@ -24,12 +24,12 @@ from pyspark.sql import functions as F
 TREND_SCHEMA = "event_type string, n_days long, slope double, intercept double"
 
 
-def _round6(v: float) -> float:
+def _round6(v: float | None) -> float | None:
     """ROUND-half-away-from-zero at 6 dp — the SQL semantics DuckDB's
     ROUND and Spark's F.round implement. Python's round() is banker's
     (half-to-even), so an exact dyadic tie like 2**-7 = 0.0078125 would
-    hash-diverge from the oracle."""
-    if v != v:  # NaN
+    hash-diverge from the oracle. None (SQL NULL) passes through."""
+    if v is None or v != v:  # NULL / NaN
         return v
     return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
 
@@ -45,8 +45,12 @@ def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
     sxx = int((x * x).sum())
     denom = n * sxx - sx * sx
     if denom == 0:
-        slope = float("nan")
-        intercept = float("nan")
+        # SQL NULL, not NaN: a single-distinct-day group divides by
+        # zero, which DuckDB (and any SQL oracle) evaluates to NULL —
+        # emitting NaN here would hash-diverge from the oracle on an
+        # otherwise-correct result
+        slope = None
+        intercept = None
     else:
         slope = (n * sxy - sx * sy) / (denom * 100.0)
         intercept = (sy * sxx - sx * sxy) / (denom * 100.0)
@@ -54,8 +58,10 @@ def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
         {
             "event_type": [pdf["event_type"].iloc[0]],
             "n_days": [n],
-            "slope": [_round6(slope)],
-            "intercept": [_round6(intercept)],
+            # object dtype so None survives Arrow conversion as a null
+            # (a float64 column would coerce it back to NaN)
+            "slope": pd.Series([_round6(slope)], dtype="object"),
+            "intercept": pd.Series([_round6(intercept)], dtype="object"),
         }
     )
 

@@ -48,12 +48,21 @@ def _binary_features_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.Dat
     already materializes)."""
     for pdf in batches:
         payload = pdf["payload"]
+        # NULL payload (nullable text upstream: F.encode(NULL) is NULL)
+        # -> NULL features, matching the SQL oracle's octet_length/
+        # hex/sha256-of-NULL semantics instead of crashing the task
         yield pd.DataFrame(
             {
                 "doc_id": pdf["doc_id"],
-                "byte_len": payload.map(len).astype("int64"),
-                "magic": payload.map(lambda b: b[:4].hex()),
-                "payload_sha256": payload.map(lambda b: hashlib.sha256(b).hexdigest()),
+                "byte_len": pd.array(
+                    [len(b) if b is not None else None for b in payload],
+                    dtype="Int64",
+                ),
+                "magic": [b[:4].hex() if b is not None else None for b in payload],
+                "payload_sha256": [
+                    hashlib.sha256(b).hexdigest() if b is not None else None
+                    for b in payload
+                ],
             }
         )
 
@@ -103,16 +112,29 @@ def _fake_decode_batches(target: int):
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            hexes = pdf["payload"].map(lambda b: hashlib.sha256(b).hexdigest())
-            h = hexes.map(lambda x: 16 + int(x[0:2], 16) % 48).astype("int32")
-            w = hexes.map(lambda x: 16 + int(x[2:4], 16) % 48).astype("int32")
-            c = hexes.map(lambda x: 1 + int(x[4], 16) % 3).astype("int32")
-            longest = pd.concat([h, w], axis=1).max(axis=1)
-            rh = (h * target // longest).astype("int32")
-            rw = (w * target // longest).astype("int32")
+            # NULL payload -> all-NULL dims (sha256(NULL) is NULL in the
+            # oracle, and every derived column follows), not a task crash
+            hexes = pdf["payload"].map(
+                lambda b: hashlib.sha256(b).hexdigest() if b is not None else None
+            )
+            h = hexes.map(lambda x: 16 + int(x[0:2], 16) % 48 if x else None)
+            w = hexes.map(lambda x: 16 + int(x[2:4], 16) % 48 if x else None)
+            c = hexes.map(lambda x: 1 + int(x[4], 16) % 3 if x else None)
+            rh = [
+                hi * target // max(hi, wi) if hi is not None else None
+                for hi, wi in zip(h, w)
+            ]
+            rw = [
+                wi * target // max(hi, wi) if wi is not None else None
+                for hi, wi in zip(h, w)
+            ]
             yield pd.DataFrame(
-                {"doc_id": pdf["doc_id"], "height": h, "width": w,
-                 "channels": c, "resized_h": rh, "resized_w": rw}
+                {"doc_id": pdf["doc_id"],
+                 "height": pd.array(h, dtype="Int32"),
+                 "width": pd.array(w, dtype="Int32"),
+                 "channels": pd.array(c, dtype="Int32"),
+                 "resized_h": pd.array(rh, dtype="Int32"),
+                 "resized_w": pd.array(rw, dtype="Int32")}
             )
 
     return kernel
@@ -156,6 +178,10 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
     for pdf in batches:
         ids, idxs, magics = [], [], []
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            if payload is None:
+                # NULL payload has no frames — the oracle's
+                # WHERE n_frames > 0 drops the row the same way
+                continue
             n_frames = len(payload) // FRAME_BYTES
             for f in range(0, n_frames, SAMPLE_EVERY):
                 ids.append(doc_id)

@@ -24,6 +24,12 @@ _LANG_MARKERS = {
 
 _TOKEN_SPLIT = r"[^a-z0-9æøåáéíóúñü]+"
 
+# explicit whitespace class, identical in Java regex (Spark) and RE2
+# (DuckDB): Java's \s includes vertical tab \x0B but RE2's does not, so
+# a bare \s on both sides diverges on text containing \x0B
+_WS_CHARS = r" \t\n\x0B\f\r"
+_WS_SPLIT = f"[{_WS_CHARS}]+"
+
 
 def _tokens(col):
     return F.filter(F.split(F.lower(col), _TOKEN_SPLIT), lambda x: x != "")
@@ -83,20 +89,20 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Whitespace tokens + a BPE-ish subword proxy (alnum runs and
     punctuation count separately) — the two standard budget counters."""
     d = t(spark, sf_dir, "documents")
-    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda x: x != ""))
+    ws = F.size(F.filter(F.split(F.col("text"), _WS_SPLIT), lambda x: x != ""))
     # BPE-ish proxy: alphanumeric runs + standalone symbol characters
     runs = F.size(F.filter(F.split(F.col("text"), r"[^A-Za-z0-9]+"), lambda x: x != ""))
-    syms = F.length(F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", ""))
+    syms = F.length(F.regexp_replace(F.col("text"), f"[A-Za-z0-9{_WS_CHARS}]", ""))
     return d.select(
         "doc_id", ws.alias("ws_tokens"), (runs + syms).cast("long").alias("subword_tokens")
     )
 
 
-TOKEN_COUNT_SQL = r"""
+TOKEN_COUNT_SQL = f"""
 SELECT doc_id,
-       len(list_filter(string_split_regex(text, '\s+'), x -> x <> '')) AS ws_tokens,
+       len(list_filter(string_split_regex(text, '{_WS_SPLIT}'), x -> x <> '')) AS ws_tokens,
        CAST(len(list_filter(string_split_regex(text, '[^A-Za-z0-9]+'), x -> x <> ''))
-            + LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9\s]', '', 'g')) AS BIGINT) AS subword_tokens
+            + LENGTH(REGEXP_REPLACE(text, '[A-Za-z0-9{_WS_CHARS}]', '', 'g')) AS BIGINT) AS subword_tokens
 FROM documents
 """
 
@@ -156,11 +162,11 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     lowercased text (the relational analog of the CDC engine's
     normalize+sha256 invariant, reference ``src/utils/utils.py:7-10``)."""
     d = t(spark, sf_dir, "documents")
-    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    canon = F.regexp_replace(F.trim(F.lower(F.col("text"))), _WS_SPLIT, " ")
     return d.select("doc_id", F.sha2(canon, 256).alias("fingerprint"))
 
 
-DOC_FINGERPRINT_SQL = r"""
-SELECT doc_id, sha256(REGEXP_REPLACE(TRIM(lower(text)), '\s+', ' ', 'g')) AS fingerprint
+DOC_FINGERPRINT_SQL = f"""
+SELECT doc_id, sha256(REGEXP_REPLACE(TRIM(lower(text)), '{_WS_SPLIT}', ' ', 'g')) AS fingerprint
 FROM documents
 """

@@ -119,9 +119,9 @@ def schema_coercion(spark, sf_dir: str):
 
 
 SCHEMA_COERCION_SQL = """
-SELECT TRY_CAST(CAST(event_id AS VARCHAR) AS BIGINT) AS event_id,
-       TRY_CAST(CAST(ts AS VARCHAR) AS TIMESTAMP) AS ts,
-       TRY_CAST(REPLACE(CAST(value AS VARCHAR), ',', '.') AS DOUBLE) AS value,
-       event_type
+SELECT TRY_CAST(NULLIF(TRIM(CAST(event_id AS VARCHAR)), '') AS BIGINT) AS event_id,
+       TRY_CAST(NULLIF(TRIM(CAST(ts AS VARCHAR)), '') AS TIMESTAMP) AS ts,
+       TRY_CAST(REPLACE(NULLIF(TRIM(CAST(value AS VARCHAR)), ''), ',', '.') AS DOUBLE) AS value,
+       NULLIF(TRIM(event_type), '') AS event_type
 FROM events
 """

@@ -29,6 +29,28 @@ from etl_spark.cdc.replay import ReplayEngine, _applied_state, check_wal_shape
 from etl_spark.schema import CHANGE_LOG_SCHEMA
 
 
+def _ordered_carry_versions(
+    names: list[str], before_epoch: int | None = None
+) -> list[str]:
+    """Carry subdir names (``v=<epoch>``) filtered to epochs before
+    ``before_epoch``, in NUMERIC epoch order — the carry protocol keys
+    off "the newest prior is last". A lexicographic sort puts ``v=10``
+    before ``v=9``, so at every epoch-number digit boundary the caller's
+    ``prior[:-1]`` cleanup would delete the NEWEST carry (the open
+    batch's only durable copy) before the epoch's checkpoint commit is
+    durable — and the stale short-named dir would then shadow the true
+    newest forever after. Module-level and pure so the ordering contract
+    is unit-testable without a stream."""
+    out = []
+    for name in names:
+        if not name.startswith("v="):
+            continue
+        v = int(name[2:])
+        if before_epoch is None or v < before_epoch:
+            out.append((v, name))
+    return [n for _, n in sorted(out)]
+
+
 def stream_replay(
     spark: SparkSession,
     changelog_dir: str,
@@ -101,15 +123,15 @@ def stream_replay(
         root = jvm_path(carry_root)
         if not fs.exists(root):
             return []
-        out = []
-        for st in fs.listStatus(root):
-            name = st.getPath().getName()
-            if not name.startswith("v="):
-                continue
-            v = int(name[2:])
-            if before_epoch is None or v < before_epoch:
-                out.append(st.getPath().toString())
-        return sorted(out)
+        by_name = {
+            st.getPath().getName(): st.getPath().toString()
+            for st in fs.listStatus(root)
+        }
+        # numeric epoch order (see _ordered_carry_versions): newest last
+        return [
+            by_name[n]
+            for n in _ordered_carry_versions(list(by_name), before_epoch)
+        ]
 
     def _apply(micro_batch: DataFrame, epoch_id: int) -> None:
         mb = micro_batch
@@ -121,6 +143,17 @@ def stream_replay(
             # WAL's unique event ids, so this is an exact dedupe and
             # keeps apply metrics (rows_in) honest
             mb = mb.dropDuplicates(["batch_id", "offset"])
+        # the unioned+deduped plan is re-evaluated once for the bounds
+        # collect, once for the carry write, and once per applied batch
+        # id — persist it so the carry-parquet scans and the dedupe
+        # shuffle run once per trigger, not ids+2 times
+        mb = mb.persist()
+        try:
+            _apply_persisted(mb, int(epoch_id), prior)
+        finally:
+            mb.unpersist()
+
+    def _apply_persisted(mb: DataFrame, epoch_id: int, prior: list[str]) -> None:
         bounds = {
             r["batch_id"]: (r["lo"], r["hi"])
             for r in mb.groupBy("batch_id")
@@ -145,7 +178,7 @@ def stream_replay(
         # re-runs this epoch idempotently (applied ids skip, the carry
         # subdir is overwritten)
         mb.filter(F.col("batch_id") == ids[-1]).write.mode("overwrite").parquet(
-            f"{carry_root}/v={int(epoch_id)}"
+            f"{carry_root}/v={epoch_id}"
         )
         for b in ids[:-1]:
             engine.apply_batch(mb.filter(F.col("batch_id") == b), int(b), schema_ops)

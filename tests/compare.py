@@ -47,7 +47,11 @@ def _canon(df: pd.DataFrame) -> pd.DataFrame:
             # differently per engine; values compare exactly in float64
             df[c] = s.astype("float64")
         elif str(s.dtype).startswith("datetime64"):
-            df[c] = s.dt.tz_localize(None) if getattr(s.dt, "tz", None) is not None else s
+            if getattr(s.dt, "tz", None) is not None:
+                s = s.dt.tz_localize(None)
+            # unify resolution: Spark's toPandas yields ns, DuckDB's
+            # fetch_df yields us — the raw int64 payloads differ 1000x
+            df[c] = s.astype("datetime64[ns]")
     df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df
 
