@@ -216,14 +216,22 @@ def _minhash_base(d, col):
     String-min keeps Spark/DuckDB identical."""
 
     def _sig_struct(shv):
-        return F.struct(
-            *[
-                F.array_min(
-                    F.transform(shv, lambda g, s=s: F.md5(F.concat(F.lit(f"{s}|"), g)))
-                ).alias(f"mh{s}")
-                for s in range(N_MINHASH)
-            ]
-        )
+        # seed literal built OUTSIDE the lambda: a default-arg closure
+        # (lambda g, s=s: ...) declares TWO parameters, and PySpark calls
+        # the callback with a positional Column for EVERY declared
+        # parameter (transform's second arg is the element index) — the
+        # default is overridden and f"{s}|" stringifies the index Column
+        # into the literal ("Column<'y_2'>|..."), silently replacing all
+        # N seeds with construction-order-dependent strings. The banding
+        # still "works" (any seed family does, probabilistically) but no
+        # longer matches the documented 0|..7| rule the oracle computes.
+        def _min_for(s: int):
+            prefix = F.lit(f"{s}|")
+            return F.array_min(
+                F.transform(shv, lambda g: F.md5(F.concat(prefix, g)))
+            ).alias(f"mh{s}")
+
+        return F.struct(*[_min_for(s) for s in range(N_MINHASH)])
 
     base = d.select("doc_id", _shingles(col).alias("sh"))
     base = base.select(
@@ -531,11 +539,14 @@ def boilerplate_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 BOILERPLATE_LINE_DEDUP_SQL = f"""
 WITH pages AS (
+  -- concat_ws, not ||: both engines SKIP null parts (a NULL text must
+  -- yield the 3-line page, not a NULL page that vanishes from lines)
   SELECT doc_id,
-         '{_PAGE_NAV}' || chr(10) ||
-         'section: ' || source || chr(10) ||
-         text || chr(10) ||
-         '{_PAGE_FOOTER}' AS page
+         concat_ws(chr(10),
+                   '{_PAGE_NAV}',
+                   'section: ' || source,
+                   text,
+                   '{_PAGE_FOOTER}') AS page
   FROM documents
 ),
 lines AS (

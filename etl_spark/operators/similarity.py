@@ -38,12 +38,36 @@ def _as_double(col):
     return F.transform(col, lambda x: x.cast("double"))
 
 
+def _cosine(a, b):
+    """ROUND(cosine, 6) — try_divide, not ``/``: an all-zero embedding
+    has norm 0, and under ANSI mode a plain division makes ONE degenerate
+    row kill the whole job at any scale. SQL semantics instead: NULL
+    cosine (DuckDB's ``/`` already nulls on a zero divisor, so the
+    oracles match without a NULLIF)."""
+    return F.round(F.try_divide(_dot(a, b), _norm(a) * _norm(b)), 6)
+
+
+def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The embeddings scan under the similarity contract: rows with a
+    missing (NULL) embedding are excluded up front — similarity of an
+    absent vector is undefined, and a NULL array crashes DuckDB's
+    list_dot_product where Spark would carry NULL rows through every
+    join (the oracles apply the identical filter). Vectors with NULL
+    ELEMENTS remain out of contract (embeddings are model outputs:
+    fixed-dim, non-null floats)."""
+    return (
+        t(spark, sf_dir, "embeddings")
+        .filter(F.col("embedding").isNotNull())
+        .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    )
+
+
 def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact brute-force cosine top-k: for each query vector (vec_id <
     N_QUERIES), the TOP_K nearest other vectors. The query side is tiny
     -> broadcast; the scan side streams (no shuffle until the final
     per-query top-k, which is a max-heap-sized aggregation)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    e = _vectors(spark, sf_dir)
     q = e.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("emb").alias("qemb")
     )
@@ -51,14 +75,15 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(_dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb"))), 6).alias("cosine"),
+        _cosine(F.col("qemb"), F.col("emb")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
 
 
 COSINE_TOPK_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -104,7 +129,7 @@ def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     h_i's components are +/-1 derived from md5(plane||dim) — portable,
     seedless determinism. Returns (vec_id, signature, bucket_size);
     same-signature vectors are ANN candidates (the 100 TB join key)."""
-    e = t(spark, sf_dir, "embeddings").select("vec_id", _as_double(F.col("embedding")).alias("emb"))
+    e = _vectors(spark, sf_dir)
     sigs = e.select("vec_id", _signature("emb").alias("signature"))
     return sigs.groupBy("signature").agg(
         F.count(F.lit(1)).alias("bucket_size"), F.min("vec_id").alias("min_vec_id")
@@ -112,7 +137,8 @@ def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 LSH_ANN_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 sigs AS (
   SELECT vec_id,
     {" || ".join(_duck_bit(p) for p in range(N_PLANES))} AS signature
@@ -135,9 +161,7 @@ def lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast. Exact verification touches only bucket mates — at 100 TB
     the per-bucket candidate count is bounded by the bucket size cap,
     same pattern as minhash_lsh_pairs."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
-    )
+    e = _vectors(spark, sf_dir)
     sigs = e.select("vec_id", "emb", _signature().alias("signature"))
     q = sigs.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -151,9 +175,7 @@ def lsh_ann_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = cand.select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
-        F.round(
-            _dot(F.col("qemb"), F.col("emb")) / (_norm(F.col("qemb")) * _norm(F.col("emb"))), 6
-        ).alias("cosine"),
+        _cosine(F.col("qemb"), F.col("emb")).alias("cosine"),
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("neighbor_id").asc())
     return scored.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= TOP_K)
@@ -197,9 +219,7 @@ def embedding_near_dup(
     (keep, drop) with keep = min vec_id, the standard near-dup
     resolution rule. The self-join is keyed on (band, signature) and
     hard-bounded per bucket — the same shape as minhash_lsh_pairs."""
-    e = t(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double(F.col("embedding")).alias("emb")
-    )
+    e = _vectors(spark, sf_dir)
     band_sigs = [
         _signature("emb", planes=range(b * planes_per_band, (b + 1) * planes_per_band)).alias(f"sig{b}")
         for b in range(n_bands)
@@ -230,9 +250,7 @@ def embedding_near_dup(
     )
     ea = e.select(F.col("vec_id").alias("keep_id"), F.col("emb").alias("emb_a"))
     eb = e.select(F.col("vec_id").alias("drop_id"), F.col("emb").alias("emb_b"))
-    cos = F.round(
-        _dot(F.col("emb_a"), F.col("emb_b")) / (_norm(F.col("emb_a")) * _norm(F.col("emb_b"))), 6
-    )
+    cos = _cosine(F.col("emb_a"), F.col("emb_b"))
     return (
         cand.join(ea, "keep_id").join(eb, "drop_id")
         .select("keep_id", "drop_id", cos.alias("cosine"))
@@ -241,7 +259,8 @@ def embedding_near_dup(
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 sigs AS (
   SELECT vec_id,
     {", ".join(
@@ -272,7 +291,8 @@ WHERE ROUND(list_dot_product(ea.emb, eb.emb) /
 
 
 LSH_ANN_PAIRS_SQL = f"""
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
+           WHERE embedding IS NOT NULL),
 sigs AS (
   SELECT vec_id, emb,
     {" || ".join(_duck_bit(p) for p in range(N_PLANES))} AS signature
