@@ -21,7 +21,13 @@ Physical strategy — chosen for 10^10-event scale:
   combine map-side; mandated by the north rule as the explicit skew tool.
 - ``lww_winners_window``: the window formulation, kept for parity tests.
 
-All three are algebraically identical; tests assert equal output.
+All three are algebraically identical; tests assert equal output —
+including for NULL order values: a NULL commit sorts below every
+non-NULL commit in struct max_by, in the broadcast max+equality join
+(struct equality is null-safe field-wise), and in the window's
+``desc_nulls_last``, so all three strategies agree (tested). NULL keys
+and offsets are refused upstream by the replay contract check
+(``replay.check_contract_nulls``).
 """
 
 from __future__ import annotations

@@ -66,6 +66,44 @@ def _is_applied(watermark: int, residual: list[int], batch_id: int) -> bool:
     return batch_id <= watermark or batch_id in residual
 
 
+def contract_null_aggs(key_columns: list[str]) -> list:
+    """Per-batch NULL counts for the WAL contract columns, shaped to fold
+    into an EXISTING aggregation (no extra pass over the log):
+    ``count(*) - count(col)`` per column. Contract columns are ``offset``
+    (a NULL offset can neither advance nor respect the exactly-once
+    fence — the event is silently dropped or double-applied on resume),
+    ``op`` (unclassifiable: the merge's I/U/D routing silently discards
+    it), and every key column (a NULL key row can never be matched by a
+    later upsert or delete — NULL != NULL in the merge's key join — so
+    it would accumulate as unreachable data). ``commit`` is deliberately
+    NOT a contract column: a NULL commit is orderable (it loses to every
+    non-NULL commit, identically in all three LWW strategies) and is
+    allowed through."""
+    cols = ["offset", "op", *key_columns]
+    return [
+        (F.count(F.lit(1)) - F.count(c)).alias(f"__nulls_{c}") for c in cols
+    ]
+
+
+def check_contract_nulls(row, key_columns: list[str], batch_id) -> None:
+    """Raise loudly if ``row`` (from an agg extended with
+    ``contract_null_aggs``) recorded NULLs in any contract column."""
+    bad = {
+        c: int(row[f"__nulls_{c}"])
+        for c in ["offset", "op", *key_columns]
+        if row[f"__nulls_{c}"]
+    }
+    if bad:
+        raise ValueError(
+            f"batch {batch_id} violates the WAL contract: NULL values in "
+            f"{bad} (column: count). NULL keys can never be upserted or "
+            "deleted again (NULL != NULL in the merge join), a NULL "
+            "offset breaks the exactly-once fence, and a NULL op cannot "
+            "be classified — each would be silent data corruption or "
+            "loss. Clean or reject these events upstream."
+        )
+
+
 def check_wal_shape(
     bounds: dict, batches, watermark: int, residual: list[int],
     fence: int | None = None,
@@ -714,13 +752,21 @@ class ReplayEngine:
             changelog = classify_events(changelog, **classify)
         # ONE pass over the log plans every batch's offset range up front
         # (vs a min/max job per batch — fixed driver overhead matters for
-        # sustained throughput)
-        bounds = {
-            r["batch_id"]: (r["lo"], r["hi"])
-            for r in changelog.groupBy("batch_id")
-            .agg(F.min("offset").alias("lo"), F.max("offset").alias("hi"))
+        # sustained throughput); the WAL-contract NULL audit rides the
+        # same aggregation for free
+        keys = self.table.key_columns
+        bound_rows = (
+            changelog.groupBy("batch_id")
+            .agg(
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+                *contract_null_aggs(keys),
+            )
             .collect()
-        }
+        )
+        for r in bound_rows:
+            check_contract_nulls(r, keys, r["batch_id"])
+        bounds = {r["batch_id"]: (r["lo"], r["hi"]) for r in bound_rows}
         if batches is None:
             batches = sorted(bounds)
         # refuse the two silent-data-loss shapes up front (see
@@ -1157,9 +1203,18 @@ class ReplayEngine:
 
         batch = changelog.filter(F.col("batch_id") == batch_id)
         if bounds is not None:
+            # precomputed by replay()'s one-pass audit (incl. the
+            # contract-NULL check)
             lo, hi = bounds
         else:
-            lo, hi = batch.select(F.min("offset"), F.max("offset")).first()
+            keys = self.table.key_columns
+            row = batch.select(
+                F.min("offset").alias("lo"),
+                F.max("offset").alias("hi"),
+                *contract_null_aggs(keys),
+            ).first()
+            check_contract_nulls(row, keys, batch_id)
+            lo, hi = row["lo"], row["hi"]
         # WAL contract (see replay's docstring): a NON-EMPTY batch below
         # an already-applied id has its offsets at/below the committed
         # fence — applying it now would silently drop every event, so

@@ -76,6 +76,10 @@ def grouped_linear_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.dayofmonth("ts").cast("long").alias("day"),
         )
         .agg(F.sum(F.round(F.col("value").cast("decimal(18,2)") * 100).cast("long")).alias("cents"))
+        # a NULL day (NULL ts) or NULL cents (all-NULL values) carries no
+        # (x, y) observation for the fit — and int64-casting it would
+        # crash the Arrow kernel; the oracle applies the identical filter
+        .filter(F.col("day").isNotNull() & F.col("cents").isNotNull())
     )
     return daily.groupBy("event_type").applyInPandas(_fit_trend, TREND_SCHEMA)
 
@@ -87,12 +91,15 @@ WITH daily AS (
          SUM(CAST(ROUND(CAST(value AS DECIMAL(18,2)) * 100) AS BIGINT)) AS cents
   FROM events GROUP BY 1, 2
 ),
+daily2 AS (
+  SELECT * FROM daily WHERE day IS NOT NULL AND cents IS NOT NULL
+),
 sums AS (
   SELECT event_type,
          COUNT(*) AS n,
          SUM(day) AS sx, SUM(cents) AS sy,
          SUM(day * cents) AS sxy, SUM(day * day) AS sxx
-  FROM daily GROUP BY 1
+  FROM daily2 GROUP BY 1
 )
 SELECT event_type, n AS n_days,
        ROUND((n * sxy - sx * sy) / ((n * sxx - sx * sx) * 100.0), 6) AS slope,

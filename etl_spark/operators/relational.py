@@ -315,7 +315,14 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Running (cumulative) aggregate per key — sliding frames beyond the
     reference's top-1-only windows."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id").rowsBetween(Window.unboundedPreceding, 0)
+    # NULLS FIRST made explicit on both sides: Spark's ASC default is
+    # nulls-first but DuckDB's is nulls-last, so a NULL event_id would
+    # silently reorder the running frame between engines
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("event_id").asc_nulls_first())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return e.select(
         "user_id",
         "event_id",
@@ -325,7 +332,7 @@ def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RUNNING_SUM_SQL = """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
 FROM events
 """
@@ -335,7 +342,8 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """lag/lead analytics (duration between consecutive events per user —
     reference F13 duration math ``src/jobs/frontdesk_borgerservice.py:194-200``)."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
+    # explicit NULLS FIRST — see window_running_sum
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc_nulls_first())
     return e.select(
         "user_id",
         "event_id",
@@ -348,7 +356,7 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_LAG_DELTA_SQL = """
 SELECT user_id, event_id,
-       EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+       EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST))
          AS micros_since_prev
 FROM events
 """
@@ -361,7 +369,8 @@ def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
     entry. One sort-based window exchange computes both frames: Spark
     plans a single Window operator because partition+order match."""
     e = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("event_id")
+    # explicit NULLS FIRST — see window_running_sum
+    w = Window.partitionBy("user_id").orderBy(F.col("event_id").asc_nulls_first())
     wr = w.rowsBetween(Window.unboundedPreceding, 0)
     return e.select(
         "user_id",
@@ -376,9 +385,9 @@ def window_running_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 WINDOW_RUNNING_LAG_SQL = """
 SELECT user_id, event_id,
-       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST
            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value,
-       EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id))
+       EPOCH_US(ts) - EPOCH_US(LAG(ts) OVER (PARTITION BY user_id ORDER BY event_id NULLS FIRST))
          AS micros_since_prev
 FROM events
 """
@@ -665,7 +674,13 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 JSON_EXTRACTION_SQL = """
-SELECT event_id, CAST(props->>'$.k' AS INT) AS prop_k FROM events
+SELECT event_id,
+       -- json_valid guard: Spark's get_json_object returns NULL for
+       -- malformed JSON; DuckDB's ->> raises. Schema-on-read over dirty
+       -- props must degrade to NULL, not abort the scan.
+       CASE WHEN json_valid(props)
+            THEN CAST(props->>'$.k' AS INT) END AS prop_k
+FROM events
 """
 
 

@@ -24,8 +24,13 @@ def windowed_event_counts(
     watermark. Works on both streaming and batch DataFrames (same plan;
     batch ignores the watermark) — tests exploit that equivalence."""
     # parquet timestamps surface as TIMESTAMP_NTZ; watermarks require
-    # TIMESTAMP_LTZ — cast in both modes (session TZ is UTC, values equal)
-    src = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    # TIMESTAMP_LTZ — cast in both modes (session TZ is UTC, values equal).
+    # NULL event times carry no window: Spark's window() drops them in
+    # batch mode and a watermark cannot order them in streaming — the
+    # filter makes that contract explicit (and the oracle mirrors it)
+    src = events.filter(F.col(ts_col).isNotNull()).withColumn(
+        ts_col, F.col(ts_col).cast("timestamp")
+    )
     if events.isStreaming:
         src = src.withWatermark(ts_col, watermark_delay)
     return (
@@ -65,5 +70,6 @@ SELECT time_bucket(INTERVAL 1 HOUR, ts) AS window_start,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
 FROM events
+WHERE ts IS NOT NULL
 GROUP BY 1, 2, 3
 """

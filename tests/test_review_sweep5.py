@@ -155,6 +155,119 @@ def test_similarity_null_and_zero_vector_parity(spark, nullemb_dir, name):
         con.close()
 
 
+EVENT_ENTRIES = [
+    "filter_null_notin", "distinct_count", "all_null_check", "join_asof",
+    "window_running_lag", "cdc_lww_state", "incremental_upsert_fold",
+    "json_extraction", "windowed_event_counts", "grouped_linear_trend",
+    "schema_coercion",
+]
+
+
+@pytest.fixture(scope="module")
+def nullevents_dir(tmp_path_factory):
+    """Events with NULLs in every column somewhere: a NULL event_id
+    (window null-ordering diverges between Spark ASC=nulls-first and
+    DuckDB=nulls-last unless pinned), a NULL ts (no event-time window,
+    no day for the trend fit), malformed JSON props (DuckDB's ->>
+    raises where Spark's get_json_object nulls), NULL values."""
+    d = tmp_path_factory.mktemp("nullevents")
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, None, 5, 6, 7, 8], dtype="Int64"),
+            "ts": pd.to_datetime(
+                ["2024-01-01 10:00", "2024-01-01 11:00", None,
+                 "2024-01-02 09:00", "2024-01-02 10:00", "2024-01-03 08:00",
+                 "2024-01-03 09:00", "2024-01-03 10:00"]
+            ).astype("datetime64[us]"),
+            "user_id": pd.array([1, 1, 2, 2, None, 3, 3, 1], dtype="Int64"),
+            "event_type": ["view", "purchase", "signup", None, "click",
+                           "signup", "purchase", "delete"],
+            "value": [1.5, None, 2.0, 3.0, 4.0, None, 5.0, 6.0],
+            "props": ['{"k": 1}', None, '{"k": 2}', "not json", '{"x": 3}',
+                      None, '{"k": 4}', '{"k": 5}'],
+        }
+    ).to_parquet(d / "events.parquet", index=False)
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EVENT_ENTRIES)
+def test_events_family_null_parity(spark, nullevents_dir, name):
+    """Oracle parity for every events-table entry on the NULL-rich
+    corpus: pinned window null-ordering (NULLS FIRST both sides),
+    json_valid-guarded extraction, NULL-event-time rows excluded from
+    event-time windows on both engines, and NULL day/cents observations
+    excluded from the trend fit instead of crashing the Arrow kernel."""
+    builder, sql = CATALOG[name]
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{nullevents_dir}/events.parquet'"
+    )
+    try:
+        got = builder(spark, nullevents_dir).toPandas()
+        want = con.execute(sql).fetch_df()
+        compare_frames(got, want, name)
+    finally:
+        con.close()
+
+
+# ---------------------------------------------------------------- WAL contract
+def test_engine_refuses_null_contract_columns(spark, tmp_path):
+    """NULL key / offset / op events are silent corruption (NULL keys
+    can never be matched again — NULL != NULL in the merge join; a NULL
+    offset breaks the fence; a NULL op is unclassifiable): both the
+    replay loop and direct apply_batch must refuse LOUDLY, and the
+    audit must ride the existing bounds aggregation (no extra pass)."""
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc import ReplayEngine, generate_changelog
+
+    log = generate_changelog(spark, 120, seed=3, n_repos=3, paths_per_repo=5, num_batches=2)
+    cases = {
+        "repo": log.withColumn("repo", F.when(F.col("offset") == 7, None).otherwise(F.col("repo"))),
+        "offset": log.withColumn("offset", F.when(F.col("offset") == 7, None).otherwise(F.col("offset"))),
+        "op": log.withColumn("op", F.when(F.col("offset") == 7, None).otherwise(F.col("op"))),
+    }
+    for col, bad in cases.items():
+        eng = ReplayEngine(spark, str(tmp_path / f"t_{col}"), num_buckets=4)
+        with pytest.raises(ValueError, match=f"WAL contract.*{col}"):
+            eng.apply_batch(bad, 0)
+        eng2 = ReplayEngine(spark, str(tmp_path / f"t2_{col}"), num_buckets=4)
+        with pytest.raises(ValueError, match="WAL contract"):
+            eng2.replay(bad)
+
+
+def test_null_commit_is_orderable_and_strategy_consistent(spark, tmp_path):
+    """A NULL commit is ALLOWED through the contract check and loses to
+    every non-NULL commit, identically in all three LWW strategies."""
+    from etl_spark.cdc import ReplayEngine
+    from etl_spark.cdc.lww import lww_winners, lww_winners_broadcast, lww_winners_window
+
+    df = spark.createDataFrame(
+        [("r1", "a", None, 5, "x"), ("r1", "a", "c2", 3, "y"), ("r2", "b", None, 7, "z")],
+        "repo string, path string, commit string, offset long, content string",
+    )
+    results = []
+    for fn in (lww_winners, lww_winners_broadcast, lww_winners_window):
+        results.append(sorted(
+            (r["repo"], r["path"], r["commit"], r["offset"])
+            for r in fn(df, key_columns=["repo", "path"], order_columns=["commit", "offset"]).collect()
+        ))
+    assert results[0] == results[1] == results[2]
+    # NULL commit lost to c2 for r1/a; won by default (only event) for r2/b
+    assert results[0] == [("r1", "a", "c2", 3), ("r2", "b", None, 7)]
+
+    # and the engine applies a NULL-commit event without refusing
+    from pyspark.sql import functions as F
+
+    from etl_spark.cdc import generate_changelog
+
+    log = generate_changelog(spark, 60, seed=5, n_repos=2, paths_per_repo=4, num_batches=1)
+    log = log.withColumn("commit", F.when(F.col("offset") == 3, None).otherwise(F.col("commit")))
+    eng = ReplayEngine(spark, str(tmp_path / "nullcommit"), num_buckets=4)
+    eng.apply_batch(log, 0)
+    assert eng.read_state().count() > 0
+
+
 def test_boilerplate_null_text_keeps_skeleton_page(spark, neardup_doc_dir):
     """concat_ws skips the NULL text on BOTH engines: the NULL doc's
     page is the 3-line nav/section/footer skeleton, not a NULL page
