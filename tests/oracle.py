@@ -15,8 +15,17 @@ from etl_spark.functions.normalize import normalize_content, sha256_hex
 
 
 def apply_log_oracle(log: pd.DataFrame) -> pd.DataFrame:
-    """log columns: offset, op, repo, path, commit, lang, content."""
-    ordered = log.sort_values(["commit", "offset"], kind="mergesort")
+    """log columns: offset, op, repo, path, commit, lang, content.
+
+    ``na_position="first"`` pins the NULL-commit contract: a NULL commit
+    LOSES to every non-NULL commit (the engine's struct ordering treats
+    a NULL field as smallest — replay.contract_null_aggs allows NULL
+    commits through precisely because they order this way), and among
+    NULL-commit events the offset breaks ties ascending, exactly like
+    the engine's (commit, offset) struct max. pandas' default
+    ``na_position="last"`` would instead make NULL commits WIN —
+    silently diverging from all three LWW strategies."""
+    ordered = log.sort_values(["commit", "offset"], kind="mergesort", na_position="first")
     last = ordered.groupby(["repo", "path"], as_index=False).tail(1)
     final = last[last["op"] != "D"].copy()
     final["content_sha256"] = final["content"].map(

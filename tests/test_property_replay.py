@@ -80,3 +80,72 @@ def test_replay_matches_oracle_for_random_shapes(spark, mk_engine, case):
         .reset_index(drop=True)
     )
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
+
+
+NULL_CASE = st.fixed_dictionaries(
+    {
+        "seed": st.integers(min_value=0, max_value=2**31 - 1),
+        "n_events": st.integers(min_value=50, max_value=800),
+        "n_repos": st.integers(min_value=1, max_value=6),
+        "paths_per_repo": st.integers(min_value=1, max_value=10),
+        "num_batches": st.integers(min_value=1, max_value=4),
+        # NULL-injection density per payload column (mod on offset)
+        "null_commit_mod": st.integers(min_value=2, max_value=9),
+        "null_content_mod": st.integers(min_value=2, max_value=9),
+        "null_lang_mod": st.integers(min_value=2, max_value=9),
+        "mode": st.sampled_from(["cow", "mor"]),
+        "lww_strategy": st.sampled_from(["broadcast", "agg", "salted"]),
+    }
+)
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_MAX_EXAMPLES", "5")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=NULL_CASE)
+def test_replay_matches_oracle_with_null_payloads(spark, mk_engine, case):
+    """NULL-payload property sweep: NULL commits (allowed — they LOSE
+    deterministically to every non-NULL commit, with offset breaking
+    ties among NULLs), NULL content (null sha256, never a crash), and
+    NULL lang are injected at random densities into random log shapes;
+    replay in a random mode/strategy must still land byte-exactly on
+    the pandas oracle (whose na_position='first' pins the same
+    NULL-commit ordering contract the engine's struct max implements)."""
+    from pyspark.sql import functions as F
+
+    log = generate_changelog(
+        spark,
+        case["n_events"],
+        seed=case["seed"],
+        n_repos=case["n_repos"],
+        paths_per_repo=case["paths_per_repo"],
+        num_batches=case["num_batches"],
+    )
+    log = (
+        log.withColumn(
+            "commit",
+            F.when(F.col("offset") % case["null_commit_mod"] == 0, None).otherwise(F.col("commit")),
+        )
+        .withColumn(
+            "content",
+            F.when(F.col("offset") % case["null_content_mod"] == 1, None).otherwise(F.col("content")),
+        )
+        .withColumn(
+            "lang",
+            F.when(F.col("offset") % case["null_lang_mod"] == 1, None).otherwise(F.col("lang")),
+        )
+    )
+    pdf = log.toPandas()
+    want = apply_log_oracle(pdf)
+    eng = mk_engine(case["mode"], case["lww_strategy"])
+    eng.replay(log)
+    got = (
+        eng.read_state()
+        .select("repo", "path", "commit", "lang", "content", "content_sha256")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
