@@ -32,24 +32,44 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "commit string, offset long, lang string, content string, deleted boolean"
 
 
+def _order_key(commit: str | None, offset: int) -> tuple:
+    """The batch engine's struct-ordering twin: a NULL commit sorts
+    below EVERY non-NULL commit (replay.contract_null_aggs admits NULL
+    commits because all three batch LWW strategies order them this
+    way), and offset breaks ties among NULLs."""
+    return (commit is not None, commit if commit is not None else "", offset)
+
+
 def _lww_update(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
     """Fold this trigger's events for one key into the kept winner."""
     if state.exists:
         cur_commit, cur_offset, cur_lang, cur_content, cur_deleted = state.get
+        has_state = True
     else:
         cur_commit, cur_offset, cur_lang, cur_content, cur_deleted = None, -1, None, None, True
+        # a separate flag, NOT `cur_commit is None`: a stored winner may
+        # legitimately carry a NULL commit, and conflating the two would
+        # let any later event replace it unconditionally
+        has_state = False
     changed = False
     for pdf in pdfs:
         if len(pdf) == 0:
             continue
         # batch-local winner first (vectorized): max by (commit, offset)
-        idx = pdf.sort_values(["commit", "offset"]).index[-1]
+        # with na_position='first' so a NULL commit LOSES here exactly
+        # as it does in the batch strategies' struct max
+        idx = pdf.sort_values(["commit", "offset"], na_position="first").index[-1]
         row: Any = pdf.loc[idx]
-        if cur_commit is None or (str(row["commit"]), int(row["offset"])) > (cur_commit, cur_offset):
-            cur_commit = str(row["commit"])
-            cur_offset = int(row["offset"])
+        # pd.isna, not str(): stringifying a NaN commit would store the
+        # literal "nan" and win every future comparison as a real string
+        new_commit = None if pd.isna(row["commit"]) else str(row["commit"])
+        new_offset = int(row["offset"])
+        if not has_state or _order_key(new_commit, new_offset) > _order_key(cur_commit, cur_offset):
+            cur_commit = new_commit
+            cur_offset = new_offset
+            has_state = True
             if row["op"] == "D":
                 cur_lang, cur_content, cur_deleted = None, None, True
             else:

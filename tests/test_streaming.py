@@ -1,6 +1,7 @@
 """Structured Streaming surface: streaming replay == batch replay;
 windowed aggregation batch/stream equivalence."""
 
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -129,6 +130,82 @@ def test_stateful_lww_stream_matches_batch(spark, tmp_path, changelog):
         for r in lww_winners(changelog).filter(F.col("op") != "D").collect()
     }
     assert got == want
+
+
+def test_stateful_lww_stream_null_commits_match_batch(spark, tmp_path):
+    """NULL commits in the streaming state operator follow the batch
+    struct-ordering contract: a NULL commit LOSES to every non-NULL
+    commit (within a trigger AND against stored state), and offset
+    breaks ties among NULLs. Pinned because pandas' default
+    sort_values(na_position='last') and a naive `cur_commit is None`
+    fresh-state test each silently invert one of these cases."""
+    from etl_spark.cdc.lww import lww_winners
+    from etl_spark.streaming.stateful import stream_lww_state
+
+    # (offset, op, repo, path, commit, lang, content, batch_id)
+    trigger1 = [
+        # key A: NULL commit at a HIGHER offset must lose the in-trigger
+        # fold to commit "c1" at a lower offset
+        (2, "U", "r", "A", "c1", "py", "a-c1", 0),
+        (5, "U", "r", "A", None, "py", "a-null", 0),
+        # key B: only NULL commits — offset tie-break picks offset 3
+        (1, "U", "r", "B", None, "py", "b-n1", 0),
+        (3, "U", "r", "B", None, "py", "b-n3", 0),
+        # key C: a NULL-commit delete is a legitimate stored winner
+        (4, "D", "r", "C", None, None, None, 0),
+    ]
+    trigger2 = [
+        # key A: later NULL-commit event must lose to STORED "c1"
+        (9, "U", "r", "A", None, "py", "a-null9", 1),
+        # key B: non-NULL commit at offset 0 must beat the stored
+        # NULL-commit winner despite the lower offset
+        (0, "U", "r", "B", "a0", "py", "b-a0", 1),
+        # key C: NULL commit at a lower offset loses to the stored
+        # NULL-commit delete (offset 4) — fresh-state flag, not
+        # `cur_commit is None`, is what keeps the delete in place
+        (2, "U", "r", "C", None, "py", "c-n2", 1),
+    ]
+    schema = (
+        "offset long, op string, repo string, path string, "
+        "commit string, lang string, content string, batch_id int"
+    )
+    log = spark.createDataFrame(trigger1 + trigger2, schema)
+
+    wal = tmp_path / "wal_null"
+    for b in (0, 1):
+        log.filter(F.col("batch_id") == b).coalesce(1).write.mode("append").parquet(str(wal))
+    stream = (
+        spark.readStream.schema(log.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(wal))
+    )
+    q = (
+        stream_lww_state(stream)
+        .writeStream.format("memory")
+        .queryName("lww_null_stream")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "null_ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    out = spark.sql("SELECT * FROM lww_null_stream").toPandas()
+    # last emission per key = greatest order key, NULL commit lowest
+    out = out.sort_values(["commit", "offset"], na_position="first")
+    out = out.groupby(["repo", "path"]).tail(1)
+    got = {
+        (r.repo, r.path): (r.commit if pd.notna(r.commit) else None, r.offset, r.deleted)
+        for r in out.itertuples()
+    }
+    want = {
+        (r["repo"], r["path"]): (r["commit"], r["offset"], r["op"] == "D")
+        for r in lww_winners(log).collect()
+    }
+    assert got == want
+    assert got[("r", "A")] == ("c1", 2, False)
+    assert got[("r", "B")] == ("a0", 0, False)
+    assert got[("r", "C")] == (None, 4, True)
 
 
 def test_stream_replay_survives_batch_splitting_triggers(spark, tmp_path, changelog):
