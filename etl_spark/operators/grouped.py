@@ -37,12 +37,17 @@ def _round6(v: float | None) -> float | None:
 def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:
     """OLS of daily total value (cents) on day-of-month, closed form over
     exact integer sums. Runs once per group on an executor."""
-    x = pdf["day"].astype("int64")
-    y = pdf["cents"].astype("int64")
-    n = int(len(pdf))
-    sx, sy = int(x.sum()), int(y.sum())
-    sxy = int((x * y).sum())
-    sxx = int((x * x).sum())
+    # Python-int sums, not pandas .sum(): numpy int64 arithmetic WRAPS
+    # silently on overflow while the oracle's SUM promotes to HUGEINT —
+    # day*cents products near 2^63 would hash-diverge. The group is at
+    # most 31 rows (one per day-of-month after the daily aggregation),
+    # so exact arbitrary-precision sums cost nothing.
+    xs = [int(v) for v in pdf["day"]]
+    ys = [int(v) for v in pdf["cents"]]
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
     denom = n * sxx - sx * sx
     if denom == 0:
         # SQL NULL, not NaN: a single-distinct-day group divides by

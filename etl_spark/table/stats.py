@@ -131,24 +131,34 @@ def entry_excludes(col_stats: dict | None, op: str, value) -> bool:
     can satisfy ``col op value``. Missing stats or cross-type
     comparisons always return False (never prune on doubt). Predicates
     are null-rejecting (SQL semantics), so null counts never block
-    pruning."""
+    pruning.
+
+    Float bounds are NaN-hazardous: parquet writers EXCLUDE NaN from
+    footer min/max, while Spark orders NaN above every double (and
+    NaN = NaN is true) — so a file ``[1.0, NaN]`` records ``max=1.0``
+    and upper-bound pruning of ``v > 5.0`` would drop the NaN row Spark
+    must return (the hazard Iceberg tracks ``nan_value_counts`` for).
+    For float bounds only LOWER-bound rules apply: a possibly-present
+    NaN can never satisfy ``<`` / ``<=`` / ``= value-below-min``, but
+    could satisfy any upper-bound-proved predicate."""
     c = col_stats
     if not c or c.get("min") is None or c.get("max") is None:
         return False
     lo, hi = c["min"], c["max"]
+    hi_usable = not (isinstance(lo, float) or isinstance(hi, float))
     try:
         if op == "=":
-            return value < lo or value > hi
+            return value < lo or (hi_usable and value > hi)
         if op == "<":
             return lo >= value
         if op == "<=":
             return lo > value
         if op == ">":
-            return hi <= value
+            return hi_usable and hi <= value
         if op == ">=":
-            return hi < value
+            return hi_usable and hi < value
         if op == "in":
-            return all(v < lo or v > hi for v in value)
+            return all(v < lo or (hi_usable and v > hi) for v in value)
     except TypeError:
         return False
     return False
