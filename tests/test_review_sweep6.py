@@ -144,6 +144,102 @@ def test_entry_excludes_float_bounds_are_nan_safe():
     assert entry_excludes(sti, ">", 20) and entry_excludes(sti, "=", 21)
 
 
+def _classify_model(rows, existing, dels, actives, terminals):
+    """Pure-Python twin of classify_events' documented semantics:
+    delete statuses short-circuit; terminal statuses are suppressed only
+    on keys that also carry an active-status row IN THE FEED; NULL
+    statuses and NULL-keyed rows are never suppressed (dirty-data
+    tolerance); op is D / U-if-present / I (U when no key set given)."""
+    active_keys = {
+        (r["repo"], r["path"])
+        for r in rows
+        if r["status"] in actives and r["repo"] is not None and r["path"] is not None
+    }
+    out = []
+    for r in rows:
+        s = r["status"]
+        key = (r["repo"], r["path"])
+        suppressed = (
+            s in terminals
+            and s not in dels
+            and None not in key
+            and key in active_keys
+        )
+        if suppressed:
+            continue
+        if s in dels:
+            op = "D"
+        elif existing is None:
+            op = "U"
+        else:
+            op = "U" if (None not in key and key in existing) else "I"
+        out.append((r["repo"], r["path"], s, op))
+    return sorted(out, key=lambda t: tuple((x is None, x) for x in t))
+
+
+_REPOS = st.sampled_from([None, "r1", "r2"])
+_PATHS = st.sampled_from([None, "p1", "p2", "p3"])
+_STATUSES = st.sampled_from([None, "S", "0", "1", "3", "7", "8", "9", "X", ""])
+
+
+@st.composite
+def _classify_case(draw):
+    rows = draw(
+        st.lists(
+            st.fixed_dictionaries(
+                {"repo": _REPOS, "path": _PATHS, "status": _STATUSES}
+            ),
+            max_size=12,
+        )
+    )
+    has_existing = draw(st.booleans())
+    existing = (
+        draw(st.sets(st.tuples(st.sampled_from(["r1", "r2"]),
+                               st.sampled_from(["p1", "p2", "p3"]))))
+        if has_existing
+        else None
+    )
+    return rows, existing
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(_classify_case())
+def test_classify_events_matches_pure_model(spark, case):
+    """classify_events == the pure state-machine model on random feeds
+    mixing NULL keys, NULL/empty/unknown statuses, and every precedence
+    interaction (delete beats terminal, terminal suppressed only beside
+    an in-feed active row, presence routing I vs U)."""
+    from etl_spark.cdc.classify import (
+        ACTIVE_STATUSES,
+        DELETE_STATUSES,
+        TERMINAL_STATUSES,
+        classify_events,
+    )
+
+    rows, existing = case
+    df = spark.createDataFrame(
+        [(r["repo"], r["path"], r["status"]) for r in rows],
+        "repo string, path string, status string",
+    )
+    ek = (
+        spark.createDataFrame(list(existing), "repo string, path string")
+        if existing is not None
+        else None
+    )
+    got = sorted(
+        ((r["repo"], r["path"], r["status"], r["op"])
+         for r in classify_events(df, existing_keys=ek).collect()),
+        key=lambda t: tuple((x is None, x) for x in t),
+    )
+    want = _classify_model(
+        rows,
+        existing if existing is None else {k for k in existing},
+        DELETE_STATUSES, ACTIVE_STATUSES, TERMINAL_STATUSES,
+    )
+    assert got == want
+
+
 def test_fit_trend_sums_are_exact_beyond_int64():
     """The OLS sums must not wrap: day*cents products near 2^63 overflow
     numpy int64 silently while the DuckDB oracle promotes to HUGEINT.
