@@ -235,8 +235,14 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     signups = e.filter(F.col("event_type") == "signup").select(
         "user_id", F.col("ts").alias("signup_ts"), F.col("event_id").alias("signup_id")
     )
-    joined = purchases.join(signups, "user_id", "left").filter(
-        F.col("signup_ts").isNull() | (F.col("signup_ts") <= F.col("purchase_ts"))
+    # inner join + null-rejecting bound, matching the oracle's WHERE:
+    # a NULL signup_ts is an unknown time and can never qualify as
+    # "most recent prior" (the old `isNull() |` branch admitted it, so
+    # a user whose only signups carry NULL timestamps got a signup id
+    # from Spark but NULL from the oracle — purchases with no
+    # qualifying signup are restored by the left join below either way)
+    joined = purchases.join(signups, "user_id").filter(
+        F.col("signup_ts") <= F.col("purchase_ts")
     )
     best = joined.groupBy("purchase_id", "user_id", "purchase_ts").agg(
         F.max_by(F.col("signup_id"), F.struct(F.col("signup_ts"), F.col("signup_id"))).alias("asof_signup_id")

@@ -144,6 +144,51 @@ def test_entry_excludes_float_bounds_are_nan_safe():
     assert entry_excludes(sti, ">", 20) and entry_excludes(sti, "=", 21)
 
 
+def test_join_asof_null_ts_signup_matches_oracle(spark, tmp_path):
+    """A user whose ONLY signups carry NULL timestamps must yield a NULL
+    as-of id, exactly like the oracle's null-rejecting WHERE — the old
+    `isNull() |` filter branch admitted the NULL-ts signup as a
+    qualifying candidate and returned its id from Spark while DuckDB
+    returned NULL (unexercised by the sweep-5 corpus, whose NULL-ts
+    signup user had no purchase)."""
+    import duckdb
+
+    from etl_spark.operators.relational import JOIN_ASOF_SQL, join_asof
+
+    pd.DataFrame(
+        {
+            "event_id": pd.array([1, 2, 3, 4, 5], dtype="Int64"),
+            "ts": pd.to_datetime(
+                [None, "2024-01-02 10:00", "2024-01-01 09:00",
+                 "2024-01-02 11:00", None]
+            ).astype("datetime64[us]"),
+            "user_id": pd.array([7, 7, 8, 8, 9], dtype="Int64"),
+            # user 7: purchase with only a NULL-ts signup -> asof NULL
+            # user 8: purchase with a real prior signup -> asof 3
+            # user 9: NULL-ts purchase (bound never satisfied) -> NULL
+            "event_type": ["signup", "purchase", "signup", "purchase", "purchase"],
+            "value": [1.0, 2.0, 3.0, 4.0, 5.0],
+            "props": [None] * 5,
+        }
+    ).to_parquet(tmp_path / "events.parquet", index=False)
+
+    got = {
+        r["purchase_id"]: r["asof_signup_id"]
+        for r in join_asof(spark, str(tmp_path)).collect()
+    }
+    con = duckdb.connect()
+    try:
+        con.execute(
+            f"CREATE VIEW events AS SELECT * FROM '{tmp_path}/events.parquet'"
+        )
+        want = {
+            r[0]: r[3] for r in con.execute(JOIN_ASOF_SQL).fetchall()
+        }
+    finally:
+        con.close()
+    assert got == want == {2: None, 4: 3, 5: None}
+
+
 def _classify_model(rows, existing, dels, actives, terminals):
     """Pure-Python twin of classify_events' documented semantics:
     delete statuses short-circuit; terminal statuses are suppressed only
