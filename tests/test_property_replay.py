@@ -82,6 +82,77 @@ def test_replay_matches_oracle_for_random_shapes(spark, mk_engine, case):
     pd.testing.assert_frame_equal(got, want.reset_index(drop=True))
 
 
+CRASH_CASE = st.fixed_dictionaries(
+    {
+        "seed": st.integers(min_value=0, max_value=2**31 - 1),
+        "n_events": st.integers(min_value=50, max_value=800),
+        "n_repos": st.integers(min_value=1, max_value=6),
+        "paths_per_repo": st.integers(min_value=1, max_value=10),
+        "num_batches": st.integers(min_value=2, max_value=5),
+        "crash_at": st.integers(min_value=1, max_value=4),  # mod num_batches
+        "mode": st.sampled_from(["cow", "mor"]),
+        "strategy_before": st.sampled_from(["broadcast", "agg", "salted"]),
+        "strategy_after": st.sampled_from(["broadcast", "agg", "salted"]),
+    }
+)
+
+
+@settings(
+    max_examples=int(os.environ.get("PROP_MAX_EXAMPLES", "5")),
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(case=CRASH_CASE)
+def test_crash_resume_matches_oracle_for_random_shapes(
+    spark, tmp_path_factory, case
+):
+    """Randomized crash/resume: replay a random prefix of the batches,
+    drop the engine handle (crash at a commit boundary), resume the FULL
+    log through a fresh handle — possibly under a DIFFERENT LWW strategy
+    (strategies are per-engine, not recorded; all three are algebraically
+    identical) — and land byte-exactly on the pandas oracle. A second
+    full re-replay must then be a pure fence no-op."""
+    log = generate_changelog(
+        spark,
+        case["n_events"],
+        seed=case["seed"],
+        n_repos=case["n_repos"],
+        paths_per_repo=case["paths_per_repo"],
+        num_batches=case["num_batches"],
+    )
+    pdf = log.toPandas()
+    want = apply_log_oracle(pdf).reset_index(drop=True)
+    k = 1 + (case["crash_at"] % case["num_batches"])  # 1..num_batches
+    root = str(tmp_path_factory.mktemp("crash") / "t")
+    eng1 = ReplayEngine(
+        spark, root, num_buckets=3, mode=case["mode"],
+        lww_strategy=case["strategy_before"], compact_threshold=2,
+    )
+    eng1.replay(log, batches=list(range(k)))
+    del eng1  # crash at the k-th commit boundary
+
+    eng2 = ReplayEngine(
+        spark, root, num_buckets=3, mode=case["mode"],
+        lww_strategy=case["strategy_after"], compact_threshold=2,
+    )
+    eng2.replay(log)  # applied prefix fences out; remainder applies
+
+    def state(eng):
+        return (
+            eng.read_state()
+            .select("repo", "path", "commit", "lang", "content", "content_sha256")
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+
+    pd.testing.assert_frame_equal(state(eng2), want)
+    # double-resume: every batch already applied -> all skipped, state fixed
+    results = eng2.replay(log)
+    assert all(r.get("skipped") for r in results)
+    pd.testing.assert_frame_equal(state(eng2), want)
+
+
 NULL_CASE = st.fixed_dictionaries(
     {
         "seed": st.integers(min_value=0, max_value=2**31 - 1),
