@@ -118,8 +118,22 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str,
     documents. Operationally, log the cap's reach with
     ``inv.groupBy("g").count().filter(F.col("count") > MAX_DF).count()``
     (dropped-shingle count) next to the candidate count; the identical
-    rule runs in the oracle, so the cap never diverges the two engines."""
-    d = t(spark, sf_dir, "documents").select("doc_id", _shingles(F.col("text")).alias("sh"))
+    rule runs in the oracle, so the cap never diverges the two engines.
+
+    doc_id is canonicalized to ONE row per id (deterministic MAX(text),
+    binary collation in both engines) before shingling: the
+    intersection upper bound below assumes per-doc shingle counts are
+    counted once — duplicate doc_id rows (a routine CDC-feed artifact)
+    double n_rare while n_sh stays per-row, driving n_freq negative and
+    turning the "upper bound" into an UNDER-estimate that silently
+    drops true pairs. One map-side-combinable agg; a no-op shuffle-wise
+    next to the shingle explode and array-verify join that follow."""
+    docs = (
+        t(spark, sf_dir, "documents")
+        .groupBy("doc_id")
+        .agg(F.max("text").alias("text"))
+    )
+    d = docs.select("doc_id", _shingles(F.col("text")).alias("sh"))
     d = d.filter(F.size("sh") > 0).cache()
     inv = d.select("doc_id", F.explode("sh").alias("g"))
     rare = inv.groupBy("g").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") <= MAX_DF)
@@ -181,7 +195,7 @@ WITH docs AS (
          )) AS sh
   FROM (SELECT doc_id,
                list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS toks
-        FROM documents)
+        FROM (SELECT doc_id, MAX(text) AS text FROM documents GROUP BY doc_id))
 ),
 inv AS (
   SELECT doc_id, u.g

@@ -182,13 +182,20 @@ def _frame_sample_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFr
                 # NULL payload has no frames — the oracle's
                 # WHERE n_frames > 0 drops the row the same way
                 continue
+            # a NULL doc_id reaches the kernel as NaN (Spark ships
+            # nullable longs to pandas as float64) — keep the row with a
+            # null id, exactly like the oracle's NULL passthrough; the
+            # nullable Int64 output array below is what permits it
+            # (a plain int64 array raises on NaN and kills the task)
+            if doc_id is not None and pd.isna(doc_id):
+                doc_id = None
             n_frames = len(payload) // FRAME_BYTES
             for f in range(0, n_frames, SAMPLE_EVERY):
                 ids.append(doc_id)
                 idxs.append(f)
                 magics.append(payload[f * FRAME_BYTES : f * FRAME_BYTES + 4].hex())
         yield pd.DataFrame(
-            {"doc_id": pd.array(ids, dtype="int64"),
+            {"doc_id": pd.array(ids, dtype="Int64"),
              "frame_idx": pd.array(idxs, dtype="int32"),
              "frame_magic": magics}
         )

@@ -247,8 +247,24 @@ def join_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     best = joined.groupBy("purchase_id", "user_id", "purchase_ts").agg(
         F.max_by(F.col("signup_id"), F.struct(F.col("signup_ts"), F.col("signup_id"))).alias("asof_signup_id")
     )
-    # keep purchases with no qualifying signup as null
-    return purchases.join(best.select("purchase_id", "asof_signup_id"), "purchase_id", "left").select(
+    # keep purchases with no qualifying signup as null. The re-attach is
+    # null-safe on the FULL grouped triple: a plain purchase_id equi-join
+    # silently drops the as-of value for NULL-id purchase rows (NULL
+    # never equi-matches), where the oracle's correlated subquery still
+    # resolves them. <=> keys are equi-join keys to Spark (hash join,
+    # not BNLJ), so the scale shape is unchanged.
+    b = best.select(
+        F.col("purchase_id").alias("b_pid"),
+        F.col("user_id").alias("b_uid"),
+        F.col("purchase_ts").alias("b_ts"),
+        "asof_signup_id",
+    )
+    cond = (
+        F.col("purchase_id").eqNullSafe(F.col("b_pid"))
+        & F.col("user_id").eqNullSafe(F.col("b_uid"))
+        & F.col("purchase_ts").eqNullSafe(F.col("b_ts"))
+    )
+    return purchases.join(b, cond, "left").select(
         "purchase_id", "user_id", "purchase_ts", "asof_signup_id"
     )
 
@@ -623,8 +639,14 @@ def cdc_lww_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     # payload column, so unused ones (props) must be dropped here — the
     # optimizer cannot prune inside the agg struct
     e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type", "value")
+    # the payload columns close the ordering into a TOTAL order: event_id
+    # is unique by contract, but if an upstream feed redelivers the same
+    # id with a conflicting payload, max_by over a non-total order picks
+    # an arbitrary copy — trailing payload tiebreakers keep the winner
+    # deterministic (and engine-agnostic) even then
     winners = lww_winners(
-        e, key_columns=["user_id"], order_columns=["ts", "event_id"]
+        e, key_columns=["user_id"],
+        order_columns=["ts", "event_id", "event_type", "value"],
     )
     return winners.filter(F.col("event_type") != "delete").select(
         "user_id",
@@ -638,7 +660,13 @@ CDC_LWW_STATE_SQL = """
 SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
        value AS last_value
 FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rk
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY user_id
+    -- payload tiebreakers mirror the Spark side's total order (DuckDB's
+    -- default DESC null order is NULLS LAST = Spark's NULL-smallest
+    -- struct max, same as the pinned ts/event_id NULL contract)
+    ORDER BY ts DESC, event_id DESC, event_type DESC, value DESC
+  ) AS rk
   FROM events
 ) WHERE rk = 1 AND event_type <> 'delete'
 """
@@ -653,7 +681,13 @@ def incremental_upsert_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         e.withColumn("day", F.to_date(F.col("ts")))
         .groupBy("user_id", "day")
         .agg(
-            F.max_by(F.col("value"), F.struct(F.col("ts"), F.col("event_id"))).alias("day_value"),
+            # value itself closes the order so an exact (ts, event_id)
+            # redelivery with a conflicting value resolves the same way
+            # in both engines (same total-order rule as cdc_lww_state)
+            F.max_by(
+                F.col("value"),
+                F.struct(F.col("ts"), F.col("event_id"), F.col("value")),
+            ).alias("day_value"),
             F.count(F.lit(1)).alias("n_events"),
         )
     )
@@ -662,7 +696,8 @@ def incremental_upsert_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 INCREMENTAL_UPSERT_FOLD_SQL = """
 SELECT user_id, day, value AS day_value, n_events FROM (
   SELECT user_id, CAST(ts AS DATE) AS day, value,
-         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE) ORDER BY ts DESC, event_id DESC) AS rk,
+         ROW_NUMBER() OVER (PARTITION BY user_id, CAST(ts AS DATE)
+                            ORDER BY ts DESC, event_id DESC, value DESC) AS rk,
          COUNT(*) OVER (PARTITION BY user_id, CAST(ts AS DATE)) AS n_events
   FROM events
 ) WHERE rk = 1
@@ -675,18 +710,27 @@ def json_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "events")
     return e.select(
         "event_id",
-        F.get_json_object(F.col("props"), "$.k").cast("int").alias("prop_k"),
+        # try_cast, not cast: a non-numeric $.k value must degrade to
+        # NULL under ANSI mode instead of aborting the scan
+        F.get_json_object(F.col("props"), "$.k").try_cast("int").alias("prop_k"),
     )
 
 
-JSON_EXTRACTION_SQL = """
+JSON_EXTRACTION_SQL = r"""
 SELECT event_id,
-       -- json_valid guard: Spark's get_json_object returns NULL for
-       -- malformed JSON; DuckDB's ->> raises. Schema-on-read over dirty
-       -- props must degrade to NULL, not abort the scan.
-       CASE WHEN json_valid(props)
-            THEN CAST(props->>'$.k' AS INT) END AS prop_k
-FROM events
+       -- dirty-JSON contract, pinned to Spark's documented leniency:
+       -- get_json_object parses the LEADING JSON value and ignores
+       -- trailing garbage ('{"k":5} zzalt' -> 5), returning NULL only
+       -- when no leading value parses. DuckDB's ->> raises on any
+       -- malformed input, so the oracle emulates the leniency by
+       -- extracting the leading flat object (props is a flat one-level
+       -- object by schema — no nested braces) before the validity
+       -- guard; TRY_CAST mirrors Spark's try_cast on non-numeric $.k.
+       CASE WHEN json_valid(lead)
+            THEN TRY_CAST(lead->>'$.k' AS INT) END AS prop_k
+FROM (SELECT event_id,
+             regexp_extract(props, '^\s*(\{[^{}]*\})', 1) AS lead
+      FROM events)
 """
 
 
@@ -747,17 +791,27 @@ def positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     whole table through one task. row_number then runs over only the
     k-row results."""
     o, c = t(spark, sf_dir, "orders"), t(spark, sf_dir, "customer")
-    wo = Window.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
-    wc = Window.orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+    # NULL order pinned explicitly on BOTH sort columns: Spark's bare
+    # asc() is NULLS FIRST while DuckDB's ASC is NULLS LAST, so a NULL
+    # key in the ordering silently shifts every later position by one
+    # relative to the oracle. NULLS LAST on both engines; with it, tied
+    # rows are identical in all projected columns, so rank assignment
+    # among ties cannot change the output multiset.
+    wo = Window.orderBy(
+        F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last()
+    )
+    wc = Window.orderBy(
+        F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc_nulls_last()
+    )
     top_o = (
         o.select("o_orderkey", "o_totalprice")
-        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .orderBy(F.col("o_totalprice").desc_nulls_last(), F.col("o_orderkey").asc_nulls_last())
         .limit(100)
         .withColumn("rk", F.row_number().over(wo))
     )
     top_c = (
         c.select("c_custkey", "c_acctbal")
-        .orderBy(F.col("c_acctbal").desc(), F.col("c_custkey").asc())
+        .orderBy(F.col("c_acctbal").desc_nulls_last(), F.col("c_custkey").asc_nulls_last())
         .limit(100)
         .withColumn("rk", F.row_number().over(wc))
     )
@@ -767,12 +821,14 @@ def positional_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 POSITIONAL_JOIN_SQL = """
 WITH top_o AS (
   SELECT o_orderkey, o_totalprice,
-         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+         ROW_NUMBER() OVER (ORDER BY o_totalprice DESC NULLS LAST,
+                            o_orderkey ASC NULLS LAST) AS rk
   FROM orders QUALIFY rk <= 100
 ),
 top_c AS (
   SELECT c_custkey, c_acctbal,
-         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS rk
+         ROW_NUMBER() OVER (ORDER BY c_acctbal DESC NULLS LAST,
+                            c_custkey ASC NULLS LAST) AS rk
   FROM customer QUALIFY rk <= 100
 )
 SELECT rk, o_orderkey, o_totalprice, c_custkey, c_acctbal

@@ -49,15 +49,19 @@ def _cosine(a, b):
 
 def _vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The embeddings scan under the similarity contract: rows with a
-    missing (NULL) embedding are excluded up front — similarity of an
-    absent vector is undefined, and a NULL array crashes DuckDB's
-    list_dot_product where Spark would carry NULL rows through every
-    join (the oracles apply the identical filter). Vectors with NULL
-    ELEMENTS remain out of contract (embeddings are model outputs:
-    fixed-dim, non-null floats)."""
+    missing (NULL) or EMPTY embedding are excluded up front — similarity
+    of an absent vector is undefined, and both degenerate shapes crash
+    DuckDB's list_dot_product (NULL array directly; zero-length via the
+    NULL padding of an unequal-length zip) where Spark would carry the
+    rows through every join as NULL cosines (the oracles apply the
+    identical filter). A zero-length array is the artifact an upstream
+    outer join / coalesce actually produces, so it is excluded by
+    contract; vectors with NULL elements or non-modal dimensions remain
+    out of contract (embeddings are model outputs: fixed-dim, non-null
+    floats)."""
     return (
         t(spark, sf_dir, "embeddings")
-        .filter(F.col("embedding").isNotNull())
+        .filter(F.col("embedding").isNotNull() & (F.size("embedding") > 0))
         .select("vec_id", _as_double(F.col("embedding")).alias("emb"))
     )
 
@@ -83,7 +87,7 @@ def cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 COSINE_TOPK_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
 q AS (SELECT vec_id AS query_id, emb AS qemb FROM e WHERE vec_id < {N_QUERIES}),
 scored AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
@@ -138,7 +142,7 @@ def lsh_ann_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LSH_ANN_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
 sigs AS (
   SELECT vec_id,
     {" || ".join(_duck_bit(p) for p in range(N_PLANES))} AS signature
@@ -260,7 +264,7 @@ def embedding_near_dup(
 
 EMBEDDING_NEAR_DUP_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
 sigs AS (
   SELECT vec_id,
     {", ".join(
@@ -292,7 +296,7 @@ WHERE ROUND(list_dot_product(ea.emb, eb.emb) /
 
 LSH_ANN_PAIRS_SQL = f"""
 WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings
-           WHERE embedding IS NOT NULL),
+           WHERE embedding IS NOT NULL AND len(embedding) > 0),
 sigs AS (
   SELECT vec_id, emb,
     {" || ".join(_duck_bit(p) for p in range(N_PLANES))} AS signature
