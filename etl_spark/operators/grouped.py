@@ -15,7 +15,7 @@ float64 — bit-identical across Spark and DuckDB.
 
 from __future__ import annotations
 
-import math
+import decimal
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
@@ -25,13 +25,23 @@ TREND_SCHEMA = "event_type string, n_days long, slope double, intercept double"
 
 
 def _round6(v: float | None) -> float | None:
-    """ROUND-half-away-from-zero at 6 dp — the SQL semantics DuckDB's
-    ROUND and Spark's F.round implement. Python's round() is banker's
+    """ROUND-half-away-from-zero at 6 dp of the double's EXACT decimal
+    expansion — the SQL semantics DuckDB's ROUND and Spark's F.round
+    (BigDecimal-backed) implement. Python's round() is banker's
     (half-to-even), so an exact dyadic tie like 2**-7 = 0.0078125 would
-    hash-diverge from the oracle. None (SQL NULL) passes through."""
+    hash-diverge from the oracle; and the floor(|v|*1e6 + 0.5) shortcut
+    this replaces loses an ulp once |v|*1e6 nears 2**53 (a slope of
+    -6451612911.2326765 rounded to ...678 where the exact expansion
+    says ...677). Decimal(v) is the exact value of the double, so the
+    quantize below is the exact-expansion rounding at any magnitude.
+    None (SQL NULL) passes through."""
     if v is None or v != v:  # NULL / NaN
         return v
-    return math.copysign(math.floor(abs(v) * 1e6 + 0.5), v) / 1e6
+    return float(
+        decimal.Decimal(v).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
 
 
 def _fit_trend(pdf: pd.DataFrame) -> pd.DataFrame:

@@ -488,11 +488,57 @@ LEFT JOIN agg a ON a.c_nationkey = n.n_nationkey AND a.o_orderstatus = s.o_order
 
 
 def rollup_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ROLLUP hierarchy totals (beyond reference; free in Spark/DuckDB)."""
+    """ROLLUP hierarchy totals (beyond reference; free in Spark/DuckDB).
+
+    Two-phase form instead of Spark's ROLLUP operator, for two reasons:
+    (1) Spark's ROLLUP emits ZERO rows over an empty input, while the
+    SQL standard (and DuckDB) says the () grouping set contributes one
+    global row (COUNT=0, SUM=NULL) — deriving the higher levels by
+    re-aggregating the cached (year, status) groups restores it (a
+    plain agg always yields one row); (2) it shuffles each input row
+    once (Expand emits 3 rows per input row before the partial agg).
+    The (year, status) frame is groups-sized, so the cache is tiny and
+    guarantees ONE table scan across the three levels. The sum stays
+    DECIMAL(38,2) until the final cast so the re-derived totals are
+    bit-identical to direct aggregation in both engines (summing
+    per-year doubles would drift in the last ulp)."""
     o = t(spark, sf_dir, "orders")
+    lvl = (
+        o.groupBy(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("decimal(38,2)")
+            .alias("total_dec"),
+        )
+        .cache()
+    )
+    yr = (
+        lvl.groupBy("order_year")
+        .agg(F.sum("n").alias("n"), F.sum("total_dec").cast("decimal(38,2)").alias("total_dec"))
+        .select(
+            "order_year",
+            F.lit(None).cast("string").alias("o_orderstatus"),
+            "n",
+            "total_dec",
+        )
+    )
+    gt = lvl.agg(
+        F.coalesce(F.sum("n"), F.lit(0).cast("bigint")).alias("n"),
+        F.sum("total_dec").cast("decimal(38,2)").alias("total_dec"),
+    ).select(
+        F.lit(None).cast("int").alias("order_year"),
+        F.lit(None).cast("string").alias("o_orderstatus"),
+        "n",
+        "total_dec",
+    )
     return (
-        o.rollup(F.year("o_orderdate").alias("order_year"), F.col("o_orderstatus"))
-        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("o_totalprice").cast("decimal(18,2)")).cast("double").alias("total"))
+        lvl.select("order_year", "o_orderstatus", "n", "total_dec")
+        .unionByName(yr)
+        .unionByName(gt)
+        .select(
+            "order_year", "o_orderstatus", "n", F.col("total_dec").cast("double").alias("total")
+        )
     )
 
 

@@ -130,6 +130,74 @@ def hostile_con(hostile_dir):
     c.close()
 
 
+def _mutate_extremes(df: pd.DataFrame) -> pd.DataFrame:
+    """Domain-contract boundary values. Ints: 0 / -1 / +-2^61.
+    Doubles: money columns |v| <= ~1e9 with 2 decimals, rate columns
+    (discount/tax) in [0, 1] — finer or bigger inputs hit genuinely
+    different engine internals (Spark rounds the double's decimal
+    string HALF_UP where DuckDB scales in double space, so 0.005 ->
+    0.01 vs 0.00; sums beyond ~1e13 carry > 53 bits of decimal payload
+    so decimal->double conversion differs in the 17th significant
+    digit; DuckDB's DECIMAL(18)x(18) multiply overflows at 1e16 where
+    Spark widens). Out-of-range money is covered separately by
+    test_decimal_overflow_raises_in_both_engines: both engines ABORT,
+    by contract, rather than silently null. Timestamps: ns-epoch
+    boundaries (the comparison layer is datetime64[ns])."""
+    df = df.copy()
+    n = len(df)
+    for c in df.columns:
+        s = df[c]
+        st = str(s.dtype)
+        if st.startswith("int") and n >= 4:
+            vals = s.tolist()
+            vals[0], vals[1], vals[2], vals[3] = 0, -1, 2**61, -(2**61)
+            df[c] = pd.array(vals, dtype=st)
+        elif st.startswith("float") and n >= 6:
+            vals = s.tolist()
+            if any(k in c for k in ("discount", "tax")):
+                vals[:6] = [0.0, 1.0, 0.01, 0.99, 0.5, -0.0]
+            else:
+                vals[:6] = [999999999.99, -999999999.99, -0.0, 0.01, -0.01, 123456789.45]
+            df[c] = vals
+        elif st.startswith("datetime") and n >= 4:
+            vals = s.tolist()
+            vals[0] = pd.Timestamp("1678-01-01 00:00:00.000001")
+            vals[1] = pd.Timestamp("2260-12-31 23:59:59.999999")
+            vals[2] = pd.Timestamp("1970-01-01 00:00:00")
+            vals[3] = pd.Timestamp("1969-12-31 23:59:59.999999")
+            df[c] = pd.array(vals).astype("datetime64[us]")
+    return df
+
+
+def _write_corpus(sf_dir, out, mutations) -> str:
+    for t in TABLES:
+        src = pq.read_table(os.path.join(sf_dir, f"{t}.parquet"))
+        df = src.to_pandas()
+        for fn in mutations:
+            df = fn(df)
+        # write with the ORIGINAL arrow schema so column types are
+        # byte-identical to the pristine corpus
+        pq.write_table(
+            pa.Table.from_pandas(df, schema=src.schema, preserve_index=False),
+            os.path.join(str(out), f"{t}.parquet"),
+        )
+    return str(out)
+
+
+@pytest.fixture(scope="module")
+def empty_dir(sf_dir, tmp_path_factory):
+    return _write_corpus(
+        sf_dir, tmp_path_factory.mktemp("empty_sf"), [lambda df: df.iloc[0:0]]
+    )
+
+
+@pytest.fixture(scope="module")
+def extremes_dir(sf_dir, tmp_path_factory):
+    return _write_corpus(
+        sf_dir, tmp_path_factory.mktemp("extremes_sf"), [_mutate_extremes]
+    )
+
+
 @pytest.mark.parametrize("name", [n for n, (_, sql) in CATALOG.items() if sql])
 def test_catalog_entry_on_hostile_corpus(spark, hostile_con, hostile_dir, name):
     builder, sql = CATALOG[name]
@@ -141,3 +209,54 @@ def test_catalog_entry_on_hostile_corpus_runs(spark, hostile_dir, name):
     """Oracle-less entries must at least survive the hostile corpus."""
     builder, _ = CATALOG[name]
     builder(spark, hostile_dir).count()
+
+
+@pytest.mark.parametrize("name", [n for n, (_, sql) in CATALOG.items() if sql])
+def test_catalog_entry_on_empty_corpus(spark, empty_dir, name):
+    """Zero-row tables: both engines must agree (the class that caught
+    Spark's ROLLUP dropping the SQL standard's grand-total row)."""
+    builder, sql = CATALOG[name]
+    con = duckdb_connection(empty_dir)
+    try:
+        run_and_compare(spark, con, builder, sql, empty_dir, f"empty:{name}")
+    finally:
+        con.close()
+
+
+@pytest.mark.parametrize("name", [n for n, (_, sql) in CATALOG.items() if sql])
+def test_catalog_entry_on_extremes_corpus(spark, extremes_dir, name):
+    """Domain-boundary values (the class that caught the 6-dp rounding
+    shortcut losing an ulp near 2^53 in the trend fit)."""
+    builder, sql = CATALOG[name]
+    con = duckdb_connection(extremes_dir)
+    try:
+        run_and_compare(spark, con, builder, sql, extremes_dir, f"extremes:{name}")
+    finally:
+        con.close()
+
+
+def test_decimal_overflow_raises_in_both_engines(spark, tmp_path):
+    """The loud-failure contract: money outside DECIMAL(18,2) ABORTS in
+    BOTH engines (Spark ANSI cast, DuckDB cast) rather than silently
+    nulling — a 1e308 'price' is corruption, and one engine degrading
+    to NULL while the other errors would be the worst of both worlds."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame({"v": [1.0, 1e308]})
+    pdf.to_parquet(tmp_path / "t.parquet", index=False)
+
+    sdf = spark.read.parquet(str(tmp_path / "t.parquet"))
+    with pytest.raises(Exception, match="NUMERIC_VALUE_OUT_OF_RANGE|Decimal"):
+        sdf.select(F.col("v").cast("decimal(18,2)").alias("d")).agg(
+            F.sum("d")
+        ).collect()
+
+    con = duckdb.connect()
+    try:
+        with pytest.raises(duckdb.ConversionException):
+            con.execute(
+                f"SELECT SUM(CAST(v AS DECIMAL(18,2))) FROM '{tmp_path}/t.parquet'"
+            ).fetchall()
+    finally:
+        con.close()
