@@ -25,20 +25,22 @@ TREND_SCHEMA = "event_type string, n_days long, slope double, intercept double"
 
 
 def _round6(v: float | None) -> float | None:
-    """ROUND-half-away-from-zero at 6 dp of the double's EXACT decimal
-    expansion — the SQL semantics DuckDB's ROUND and Spark's F.round
-    (BigDecimal-backed) implement. Python's round() is banker's
-    (half-to-even), so an exact dyadic tie like 2**-7 = 0.0078125 would
-    hash-diverge from the oracle; and the floor(|v|*1e6 + 0.5) shortcut
-    this replaces loses an ulp once |v|*1e6 nears 2**53 (a slope of
-    -6451612911.2326765 rounded to ...678 where the exact expansion
-    says ...677). Decimal(v) is the exact value of the double, so the
-    quantize below is the exact-expansion rounding at any magnitude.
-    None (SQL NULL) passes through."""
-    if v is None or v != v:  # NULL / NaN
+    """ROUND-half-away-from-zero at 6 dp of the double's SHORTEST
+    DECIMAL REPR — the semantics both engines implement (Spark's Round
+    goes through BigDecimal.valueOf = Double.toString; DuckDB matches):
+    0.1234565 reads as the tie "...565" and rounds UP to 0.123457 even
+    though its exact binary expansion is ...56499..., while a true
+    dyadic tie like 2**-7 = 0.0078125 also rounds up (Python's builtin
+    round() is banker's and would go to even — hash divergence). The
+    floor(|v|*1e6 + 0.5) shortcut this replaces agreed on small values
+    but lost an ulp once |v|*1e6 neared 2**53 (a slope of
+    -6451612911.2326765 rounded to ...678 where both engines say
+    ...677). Decimal(repr(v)) is the shortest repr at any magnitude.
+    None (SQL NULL) and non-finite values pass through."""
+    if v is None or v != v or v in (float("inf"), float("-inf")):
         return v
     return float(
-        decimal.Decimal(v).quantize(
+        decimal.Decimal(repr(v)).quantize(
             decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
         )
     )

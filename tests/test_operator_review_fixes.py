@@ -51,7 +51,10 @@ def test_auto_fallback_gets_its_own_round_budget(spark):
 
 def test_round6_matches_sql_round_on_ties():
     con = duckdb.connect()
-    for v in [0.0078125, -0.0078125, 0.1234565, 2.5e-6, 0.9999995, 1.25]:
+    # the last two pin the large-magnitude regime where |v|*1e6 exceeds
+    # 2**53: the old floor(|v|*1e6 + 0.5) shortcut drifted an ulp there
+    for v in [0.0078125, -0.0078125, 0.1234565, 2.5e-6, 0.9999995, 1.25,
+              -6451612911.2326765, 13515531600.005375]:
         want = con.execute("SELECT ROUND(CAST(? AS DOUBLE), 6)", [v]).fetchone()[0]
         assert _round6(v) == want, v
     # the divergence this guards against: banker's rounding goes to even
