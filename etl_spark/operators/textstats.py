@@ -170,3 +170,64 @@ DOC_FINGERPRINT_SQL = f"""
 SELECT doc_id, sha256(REGEXP_REPLACE(TRIM(lower(text)), '{_WS_SPLIT}', ' ', 'g')) AS fingerprint
 FROM documents
 """
+
+
+# --- PII scrubbing (training-data redaction stage) -----------------------
+# Portable regex subset only: character classes, bounded repetition, no
+# lookaround/backreferences — identical semantics in Java regex (Spark)
+# and RE2 (DuckDB), so one pattern string drives both engines. ASCII
+# patterns by design (the standard pragmatic scope for corpus scrubbing;
+# IDN emails etc. are a model-based stage, not a regex one).
+PII_PATTERNS = [
+    # order matters and is part of the contract: email first (an email's
+    # digits must not be half-eaten by the phone rule), then the 16-digit
+    # grouped card, then IPv4, then international phone
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("card", r"[0-9]{4}([ -]?[0-9]{4}){3}", "<CARD>"),
+    ("ipv4", r"([0-9]{1,3}\.){3}[0-9]{1,3}", "<IP>"),
+    ("phone", r"\+[0-9][0-9 ()-]{6,16}[0-9]", "<PHONE>"),
+]
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails / card numbers / IPv4s / international phone
+    numbers from document text, with per-class match counts — the
+    corpus-scrubbing stage of a training-data pipeline. Pure JVM
+    regexp_replace/regexp_count chain: narrow projection, no shuffle,
+    whole-stage codegen, same 100 TB shape as the rest of this module.
+    Counts are computed on the ORIGINAL text per class (so a phone
+    inside an email counts as email only if the email rule ate it —
+    counts follow the same application order as the replacements)."""
+    d = t(spark, sf_dir, "documents")
+    scrubbed = F.col("text")
+    counts = []
+    for name, pat, repl in PII_PATTERNS:
+        counts.append(F.regexp_count(scrubbed, F.lit(pat)).alias(f"n_{name}"))
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return d.select("doc_id", scrubbed.alias("text_scrubbed"), *counts)
+
+
+def _pii_sql() -> str:
+    """DuckDB twin generated from the SAME pattern table: one CTE per
+    class, counting on the progressively-scrubbed text of the PRIOR
+    classes exactly like the Spark loop (RE2 runs the identical
+    portable patterns)."""
+    ctes = ["s0 AS (SELECT doc_id, text AS t FROM documents)"]
+    for i, (name, pat, repl) in enumerate(PII_PATTERNS):
+        ctes.append(
+            f"s{i + 1} AS (SELECT doc_id, "
+            f"len(regexp_extract_all(t, '{pat}')) AS n_{name}, "
+            f"regexp_replace(t, '{pat}', '{repl}', 'g') AS t, "
+            + ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS[:i])
+            + (", " if i else "")
+            + f"FROM s{i})".replace(", FROM", " FROM")
+        )
+    names = ", ".join(f"n_{n}" for n, _, _ in PII_PATTERNS)
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"\nSELECT doc_id, t AS text_scrubbed, {names} FROM s{len(PII_PATTERNS)}"
+    )
+
+
+PII_SCRUB_SQL = _pii_sql()
