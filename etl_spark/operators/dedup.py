@@ -589,3 +589,96 @@ SELECT d.doc_id,
        COALESCE(r.lines_kept, 0) AS lines_kept
 FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
 """
+
+
+# --- benchmark decontamination -------------------------------------------
+# distinct shared word-3-gram shingles at or above which a training
+# document is flagged as contaminated by the eval/benchmark set
+DECONTAM_MIN_SHARED = 3
+# the self-contained eval-set rule: every 50th doc_id role-plays as the
+# held-out benchmark (a caller supplies its real eval frame instead)
+_DECONTAM_EVAL_MOD = 50
+
+
+def decontaminate(
+    spark: SparkSession,
+    sf_dir: str,
+    eval_docs: DataFrame | None = None,
+    min_shared: int = DECONTAM_MIN_SHARED,
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents that share at
+    least ``min_shared`` DISTINCT word-3-gram shingles with a held-out
+    eval set — the stage that keeps test data out of a training corpus
+    (doc-level near-dup cannot do this: a training page quoting one
+    eval question is far below any whole-document similarity
+    threshold).
+
+    Scale shape (100 TB-safe): the eval side is small by definition, so
+    its distinct shingle set is BROADCAST — the training corpus streams
+    through one map-side hash-semi-join on the shingle (no shuffle of
+    content, no all-pairs), then one map-side-combined distinct count
+    per doc_id. With ``eval_docs=None`` a deterministic slice of the
+    documents table (doc_id % 50 == 0) role-plays as the benchmark so
+    the operator is self-contained for tests/benchmarks; production
+    callers pass their real eval frame (eval_id, text).
+    """
+    d = t(spark, sf_dir, "documents")
+    if eval_docs is None:
+        eval_docs = d.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD == 0).select(
+            F.col("doc_id").alias("eval_id"), "text"
+        )
+        train = d.filter(F.col("doc_id") % _DECONTAM_EVAL_MOD != 0)
+    else:
+        train = d
+    eval_sh = (
+        eval_docs.select(F.explode(_shingles(F.col("text"))).alias("g")).distinct()
+    )
+    train_sh = train.select(
+        "doc_id", F.explode(_shingles(F.col("text"))).alias("g")
+    )
+    shared = (
+        train_sh.join(F.broadcast(eval_sh), "g")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))  # shingles are distinct per doc
+    )
+    return (
+        train.select("doc_id")
+        .join(shared, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_shared", F.lit(0)).cast("bigint").alias("n_shared"),
+            (F.coalesce("n_shared", F.lit(0)) >= min_shared).alias("contaminated"),
+        )
+    )
+
+
+DECONTAMINATE_SQL = f"""
+WITH shingled AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           generate_series(1, GREATEST(len(toks) - 2, 0)),
+           i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]
+         )) AS sh
+  FROM (SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '{_TOKEN_SPLIT}'), x -> x <> '') AS toks
+        FROM documents)
+),
+eval_sh AS (
+  SELECT DISTINCT u.g FROM shingled, UNNEST(sh) AS u(g)
+  WHERE doc_id % {_DECONTAM_EVAL_MOD} = 0
+),
+train_sh AS (
+  SELECT doc_id, u.g FROM shingled, UNNEST(sh) AS u(g)
+  WHERE doc_id % {_DECONTAM_EVAL_MOD} <> 0
+),
+shared AS (
+  SELECT doc_id, COUNT(*) AS n_shared
+  FROM train_sh JOIN eval_sh USING (g)
+  GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(s.n_shared, 0) AS n_shared,
+       COALESCE(s.n_shared, 0) >= {DECONTAM_MIN_SHARED} AS contaminated
+FROM documents d LEFT JOIN shared s ON d.doc_id = s.doc_id
+WHERE d.doc_id % {_DECONTAM_EVAL_MOD} <> 0
+"""
