@@ -235,6 +235,39 @@ def test_catalog_entry_on_extremes_corpus(spark, extremes_dir, name):
         con.close()
 
 
+def _library_ops():
+    from etl_spark.operators.dedup import DECONTAMINATE_SQL, decontaminate
+    from etl_spark.operators.textstats import (
+        PII_SCRUB_SQL,
+        REPETITION_STATS_SQL,
+        pii_scrub,
+        repetition_stats,
+    )
+
+    return {
+        "pii_scrub": (pii_scrub, PII_SCRUB_SQL),
+        "repetition_stats": (repetition_stats, REPETITION_STATS_SQL),
+        "decontaminate": (decontaminate, DECONTAMINATE_SQL),
+    }
+
+
+@pytest.mark.parametrize("name", ["pii_scrub", "repetition_stats", "decontaminate"])
+@pytest.mark.parametrize("corpus", ["hostile", "empty", "extremes"])
+def test_library_ops_on_adversarial_corpora(
+    spark, hostile_dir, empty_dir, extremes_dir, corpus, name
+):
+    """The beyond-catalog library stages hold the same oracle discipline
+    on every adversarial corpus (one-off sweep also passed dups /
+    key_dups / strings / combo per-class corpora)."""
+    builder, sql = _library_ops()[name]
+    d = {"hostile": hostile_dir, "empty": empty_dir, "extremes": extremes_dir}[corpus]
+    con = duckdb_connection(d)
+    try:
+        run_and_compare(spark, con, builder, sql, d, f"{corpus}:{name}")
+    finally:
+        con.close()
+
+
 def test_decimal_overflow_raises_in_both_engines(spark, tmp_path):
     """The loud-failure contract: money outside DECIMAL(18,2) ABORTS in
     BOTH engines (Spark ANSI cast, DuckDB cast) rather than silently
