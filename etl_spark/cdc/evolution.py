@@ -38,5 +38,16 @@ def apply_evolution_op(
         table.rename_column(column, d["new_name"], properties_update)
     elif kind == "widen_type":
         table.widen_type(column, d["new_type"], properties_update)
+    elif kind == "drop_column":
+        # key/engine-managed columns are refused by the table layer; the
+        # CDC layer additionally pins `content`: the per-row sha256
+        # fingerprint invariant (north_rule) derives from it, so a table
+        # without it cannot compute content_sha256 on the next batch
+        if column == "content":
+            raise ValueError(
+                "cannot drop 'content': the engine's content_sha256 "
+                "fingerprint is computed from it on every write"
+            )
+        table.drop_column(column, properties_update)
     else:
         raise ValueError(f"unknown schema-evolution kind: {kind!r}")

@@ -110,6 +110,13 @@ GROUP_SIZE = 64
 COMMIT_RETRIES = 5
 
 
+# Row-metadata columns the CDC engine computes and stores on every row
+# (etl_spark/cdc/replay.py seeds them at table creation). drop_column
+# refuses them: the write path recomputes them each batch and reads
+# filter on _deleted, so a schema without them breaks the next commit.
+_ENGINE_MANAGED_COLS = ("content_sha256", "_ingest_offset", "_ingest_batch", "_deleted")
+
+
 class CommitConflictError(RuntimeError):
     """Another writer claimed this snapshot version first (the
     optimistic-concurrency analog of Iceberg's CommitFailedException).
@@ -1992,5 +1999,37 @@ class ManifestTable:
                     c.type = new_type
                     return cols
             raise ValueError(f"no column {name!r}")
+
+        return self._evolve(mutate, properties_update)
+
+    def drop_column(self, name: str, properties_update: dict | None = None) -> Snapshot:
+        """Iceberg-style metadata-only column drop (Iceberg spec §Schema
+        Evolution): the column leaves the CURRENT schema only. Files
+        written under earlier schema versions keep their bytes untouched;
+        reads project them away by column id (``_map_to_schema`` selects
+        only the target schema's ids), and time travel to a pre-drop
+        snapshot still surfaces the column. Re-adding the same NAME later
+        allocates a NEW column id, so values from before the drop are
+        never resurrected into the re-added column.
+
+        Refused for key columns (the bucket layout and LWW identity hash
+        them — dropping one would re-route every key) and for the engine-
+        managed row-metadata columns (the write path recomputes them on
+        every batch and the read path filters on ``_deleted``)."""
+
+        def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
+            if not any(c.name == name for c in cols):
+                raise ValueError(f"no column {name!r}")
+            if name in self.key_columns:
+                raise ValueError(
+                    f"cannot drop key column {name!r}: the bucket layout and "
+                    "LWW key identity hash it (rebucket/recreate instead)"
+                )
+            if name in _ENGINE_MANAGED_COLS:
+                raise ValueError(
+                    f"cannot drop engine-managed column {name!r}: the write "
+                    "path recomputes it every batch"
+                )
+            return [c for c in cols if c.name != name]
 
         return self._evolve(mutate, properties_update)
