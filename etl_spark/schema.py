@@ -49,7 +49,7 @@ CHANGE_LOG_SCHEMA = T.StructType(
 SCHEMA_EVOLUTION_SCHEMA = T.StructType(
     [
         T.StructField("offset", T.LongType(), False),
-        T.StructField("kind", T.StringType(), False),  # add_column|rename_column|widen_type
+        T.StructField("kind", T.StringType(), False),  # add_column|rename_column|widen_type|drop_column
         T.StructField("column", T.StringType(), False),
         T.StructField("detail", T.StringType(), True),  # JSON payload
     ]
