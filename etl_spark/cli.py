@@ -100,6 +100,13 @@ def _build_parser() -> argparse.ArgumentParser:
         help="treat the changelog as a raw status-coded feed: classify this "
         "column to I/U/D ops (reference state-machine semantics) before replay",
     )
+    r.add_argument(
+        "--schema-ops",
+        help="in-flight DDL events (offset, kind, column, detail) as parquet "
+        "or JSON lines (.json/.jsonl); kinds: add_column|rename_column|"
+        "widen_type|drop_column. Each op applies before the batch whose "
+        "offset range covers it, and is offset-fenced exactly like data",
+    )
     common(r)
 
     s = sub.add_parser("stream", help="structured-streaming tail of the changelog dir")
@@ -273,9 +280,20 @@ def main(argv: list[str] | None = None) -> int:
             if getattr(args, "classify_status_col", None)
             else None
         )
-        results = engine.replay(log, classify=classify)
+        schema_ops = None
+        if getattr(args, "schema_ops", None):
+            from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+
+            reader = spark.read.schema(SCHEMA_EVOLUTION_SCHEMA)
+            schema_ops = (
+                reader.json(args.schema_ops)
+                if args.schema_ops.endswith((".json", ".jsonl"))
+                else reader.parquet(args.schema_ops)
+            )
+        results = engine.replay(log, classify=classify, schema_ops=schema_ops)
         print(json.dumps({"applied": [r["batch_id"] for r in results if not r.get("skipped")],
                           "skipped": [r["batch_id"] for r in results if r.get("skipped")],
+                          "schema_ops": sum(r.get("schema_ops", 0) for r in results),
                           "fence_offset": engine.fence_offset()}))
     elif args.cmd == "stream":
         from etl_spark.streaming import stream_replay

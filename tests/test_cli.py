@@ -107,6 +107,48 @@ def test_cli_lookup_and_chain(spark, capsys, cli_dirs):
     assert out["skipped"]
 
 
+def test_cli_schema_ops_jsonl(spark, capsys, cli_dirs):
+    """--schema-ops carries in-flight DDL through the spark-submit surface:
+    the op applies at its offset and the evolved column reaches the state."""
+    root, wal = cli_dirs
+    table = str(root / "t_ddl")
+    ops_path = root / "ops.jsonl"
+    ops_path.write_text(json.dumps(
+        {"offset": 1000, "kind": "add_column", "column": "review_state",
+         "detail": json.dumps({"type": "string"})}) + "\n")
+
+    rc = main(["replay", "--changelog", wal, "--table", table,
+               "--schema-ops", str(ops_path)])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["applied"] == [0, 1, 2]
+    assert out["schema_ops"] == 1
+
+    rc = main(["state", "--table", table])
+    assert rc == 0
+    state = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert "review_state" in state["columns"]
+
+
+def test_cli_schema_ops_parquet(spark, capsys, cli_dirs):
+    """Parquet-format ops files take the non-JSON reader branch."""
+    from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+
+    root, wal = cli_dirs
+    table = str(root / "t_ddl_pq")
+    ops_path = str(root / "ops_pq")
+    spark.createDataFrame(
+        [(500, "add_column", "flagged", json.dumps({"type": "long"}))],
+        SCHEMA_EVOLUTION_SCHEMA,
+    ).write.mode("overwrite").parquet(ops_path)
+
+    rc = main(["replay", "--changelog", wal, "--table", table,
+               "--schema-ops", ops_path])
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["schema_ops"] == 1
+
+
 def test_cli_compact_flags(spark, capsys, cli_dirs):
     root, wal = cli_dirs
     table = str(root / "t1")  # built by the replay test above
