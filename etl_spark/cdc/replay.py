@@ -33,7 +33,7 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.cdc.evolution import apply_evolution_op
+from etl_spark.cdc.evolution import apply_evolution_op, check_schema_ops
 from etl_spark.cdc.merge import merge_batch
 from etl_spark.schema import INGEST_METRICS_SCHEMA
 from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
@@ -778,6 +778,10 @@ class ReplayEngine:
             bounds, batches, wm0, res0,
             fence=int(props0.get("fence_offset", -1)),
         )
+        if schema_ops is not None:
+            # ops frames are tiny (DDL events) — validate the whole feed
+            # driver-side before any op can commit a schema version
+            check_schema_ops(schema_ops.collect())
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
                 changelog, bounds, sorted(batches), delete_guard, pipeline_depth,
@@ -1256,12 +1260,21 @@ class ReplayEngine:
         # window between an evolution commit and its data commit.
         n_ops = 0
         if schema_ops is not None:
+            # full-frame collect (tiny: DDL events) so the contract check
+            # also sees rows a `offset <= hi` pushdown would hide (NULL
+            # offsets from malformed PERMISSIVE-mode lines)
+            ops_rows = schema_ops.collect()
+            check_schema_ops(ops_rows)
             applied_ops = set(snap.properties.get("applied_schema_ops", []))
-            pending = [
-                r
-                for r in schema_ops.filter(F.col("offset") <= hi).orderBy("offset").collect()
-                if r["offset"] > fence and r["offset"] not in applied_ops
-            ]
+            pending = sorted(
+                (
+                    r
+                    for r in ops_rows
+                    if fence < r["offset"] <= int(hi)
+                    and r["offset"] not in applied_ops
+                ),
+                key=lambda r: r["offset"],
+            )
             for r in pending:
                 applied_ops.add(r["offset"])
                 apply_evolution_op(

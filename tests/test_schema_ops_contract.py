@@ -1,0 +1,123 @@
+"""Schema-ops feed contract: malformed DDL feeds are refused loudly.
+
+The ops frame is user-supplied (``replay(schema_ops=)``, CLI
+``--schema-ops``); without the up-front check each defect is a SILENT
+wrong outcome — a PERMISSIVE-mode malformed JSON line becomes an
+all-NULL row every ``offset <= hi`` filter drops, duplicate offsets
+collapse to one op in the exactly-once ledger, and a missing detail key
+fails only after earlier ops already committed schema versions.
+"""
+
+import json
+
+import pytest
+
+from etl_spark.cdc.changelog import generate_changelog
+from etl_spark.cdc.evolution import check_schema_ops
+from etl_spark.cdc.replay import ReplayEngine
+from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    df = generate_changelog(spark, 900, seed=7, n_repos=4, paths_per_repo=10,
+                            num_batches=3)
+    df.cache()
+    df.count()
+    return df
+
+
+def _ops(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA_EVOLUTION_SCHEMA)
+
+
+def _replay(spark, tmp_path, changelog, ops, name):
+    eng = ReplayEngine(spark, str(tmp_path / name), num_buckets=4)
+    return eng, lambda: eng.replay(changelog, schema_ops=ops)
+
+
+def test_malformed_jsonl_line_refused(spark, tmp_path, changelog):
+    """The real CLI path: a corrupt line in a .jsonl ops file reads as an
+    all-NULL row in PERMISSIVE mode — refused, not silently dropped."""
+    p = tmp_path / "ops.jsonl"
+    p.write_text(
+        json.dumps({"offset": 450, "kind": "add_column", "column": "x",
+                    "detail": json.dumps({"type": "string"})}) + "\n"
+        + "{this is not json\n"
+    )
+    ops = spark.read.schema(SCHEMA_EVOLUTION_SCHEMA).json(str(p))
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_null")
+    with pytest.raises(ValueError, match="NULL in a required field"):
+        run()
+    # refused BEFORE any op or batch committed
+    assert eng.applied_batches() == []
+
+
+def test_duplicate_offsets_refused(spark, tmp_path, changelog):
+    ops = _ops(spark, [
+        (450, "add_column", "a", json.dumps({"type": "string"})),
+        (450, "add_column", "b", json.dumps({"type": "string"})),
+    ])
+    _, run = _replay(spark, tmp_path, changelog, ops, "t_dup")
+    with pytest.raises(ValueError, match="duplicate schema-op offset 450"):
+        run()
+
+
+def test_unknown_kind_refused_up_front(spark, tmp_path, changelog):
+    ops = _ops(spark, [(450, "alter_comment", "a", None)])
+    _, run = _replay(spark, tmp_path, changelog, ops, "t_kind")
+    with pytest.raises(ValueError, match="unknown schema-evolution kind"):
+        run()
+
+
+def test_missing_detail_key_refused_before_any_commit(spark, tmp_path,
+                                                      changelog):
+    """A late op's missing required key must fail the WHOLE replay up
+    front — not after the early op already committed a schema version."""
+    ops = _ops(spark, [
+        (100, "add_column", "early", json.dumps({"type": "string"})),
+        (800, "rename_column", "lang", json.dumps({"wrong_key": "x"})),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_detail")
+    with pytest.raises(ValueError, match="requires detail key 'new_name'"):
+        run()
+    assert eng.applied_batches() == []
+    assert "early" not in [c.name for c in eng.table.current_snapshot().schema.columns]
+
+
+def test_unparseable_detail_refused(spark, tmp_path, changelog):
+    ops = _ops(spark, [(450, "add_column", "a", "{not json")])
+    _, run = _replay(spark, tmp_path, changelog, ops, "t_json")
+    with pytest.raises(ValueError, match="unparseable detail JSON"):
+        run()
+
+
+def test_direct_apply_batch_validates_too(spark, tmp_path, changelog):
+    """apply_batch is public; a dirty feed handed straight to it (or via
+    the streaming tail, which routes through it) is refused the same."""
+    ops = _ops(spark, [
+        (100, "add_column", "a", json.dumps({"type": "string"})),
+        (100, "drop_column", "lang", None),
+    ])
+    eng = ReplayEngine(spark, str(tmp_path / "t_direct"), num_buckets=4)
+    with pytest.raises(ValueError, match="duplicate schema-op offset"):
+        eng.apply_batch(changelog, 0, ops)
+
+
+def test_check_is_pure_and_order_insensitive():
+    rows = [
+        {"offset": 9, "kind": "drop_column", "column": "c", "detail": None},
+        {"offset": 2, "kind": "widen_type", "column": "v",
+         "detail": json.dumps({"new_type": "long"})},
+    ]
+    check_schema_ops(rows)  # valid feed passes regardless of row order
+
+
+def test_valid_feed_still_replays(spark, tmp_path, changelog):
+    ops = _ops(spark, [
+        (450, "add_column", "size_bytes", json.dumps({"type": "int"})),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_ok")
+    results = run()
+    assert sum(r["schema_ops"] for r in results) == 1
+    assert "size_bytes" in eng.read_state().columns
