@@ -1951,6 +1951,26 @@ class ManifestTable:
             snap = self.current_snapshot()
             cur = snap.schema
             new_cols = mutate([ColumnDef(c.id, c.name, c.type, c.default) for c in cur.columns])
+            props = {**snap.properties, **(properties_update or {})}
+            # the stats_columns property is NAME-based while file stats
+            # are id-based: carry each listed name through the DDL by id
+            # (rename keeps collecting stats under the new name, drop
+            # stops listing a dead name) — otherwise a rename silently
+            # stops stats collection for that column's future files.
+            # Names not in the pre-DDL schema are kept verbatim: the
+            # property may legitimately name a column added later.
+            sc = props.get("stats_columns", "")
+            if sc:
+                old_by_name = {c.name: c.id for c in cur.columns}
+                new_by_id = {c.id: c.name for c in new_cols}
+                kept = []
+                for n in (x.strip() for x in sc.split(",") if x.strip()):
+                    cid = old_by_name.get(n)
+                    if cid is None:
+                        kept.append(n)
+                    elif cid in new_by_id:
+                        kept.append(new_by_id[cid])
+                props["stats_columns"] = ",".join(dict.fromkeys(kept))
             new_sv = snap.current_schema_version + 1
             new = Snapshot(
                 version=snap.version + 1,
@@ -1958,7 +1978,7 @@ class ManifestTable:
                 schemas={**snap.schemas, new_sv: TableSchema(new_cols)},
                 num_buckets=snap.num_buckets,
                 files=snap.files,
-                properties={**snap.properties, **(properties_update or {})},
+                properties=props,
             )
             try:
                 self._commit(new)
@@ -1983,6 +2003,14 @@ class ManifestTable:
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             if not any(c.name == old for c in cols):
                 raise ValueError(f"no column {old!r}")
+            if any(c.name == new for c in cols):
+                # a duplicate-name schema silently corrupts every by-name
+                # lookup (reads select the name twice, stats/key maps
+                # collapse to one winner) — refuse like add_column does
+                raise ValueError(
+                    f"cannot rename {old!r} to {new!r}: column {new!r} "
+                    "already exists"
+                )
             for c in cols:
                 if c.name == old:
                     c.name = new

@@ -148,3 +148,15 @@ def test_snapshot_time_travel(spark, tmp_path, changelog):
         for r in eng.table.read(snapshot=snap_after_b0).collect()
     }
     assert again == state_b0
+
+
+def test_rename_onto_existing_name_refused(spark, tmp_path, changelog):
+    """A duplicate-name schema silently corrupts every by-name lookup —
+    rename refuses a taken target like add_column refuses a taken name."""
+    eng = ReplayEngine(spark, str(tmp_path / "t_collide"), num_buckets=4)
+    eng.replay(changelog, batches=[0])
+    with pytest.raises(ValueError, match="already exists"):
+        eng.table.rename_column("lang", "content")
+    # schema unchanged: no version bump, no duplicate names
+    names = [c.name for c in eng.table.current_snapshot().schema.columns]
+    assert names.count("content") == 1 and "lang" in names

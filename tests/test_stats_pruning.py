@@ -332,3 +332,50 @@ def test_engine_lookup_and_pushdown(spark, tmp_path):
         assert have == want
         with pytest.raises(ValueError, match="missing"):
             eng.lookup(repo=probe["repo"])
+
+
+def test_stats_columns_property_follows_rename(spark, tmp_path, table):
+    """File stats are id-keyed, but the stats_columns PROPERTY is
+    name-based: a rename must carry the listed name along, or stats
+    silently stop being collected for that column's future files."""
+    table.rename_column("v", "version")
+    snap = table.current_snapshot()
+    assert snap.properties["stats_columns"] == "version"
+
+    # files written AFTER the rename still record stats for the column
+    t2 = ManifestTable(spark, table.root, key_columns=["repo", "path"])
+    t2.overwrite(
+        _rows(spark, 500, 100).withColumnRenamed("v", "version")
+    )
+    entries = _all_entries(t2.current_snapshot())
+    col_id = str(next(c.id for c in t2.current_snapshot().schema.columns
+                      if c.name == "version"))
+    assert all(col_id in e.get("stats", {}) for e in entries)
+
+    # and pruned reads under the NEW name stay exact
+    got = sorted(
+        r["version"]
+        for r in t2.read(where=[("version", ">", 580)]).collect()
+    )
+    assert got == list(range(581, 600))
+
+
+def test_stats_columns_property_drops_with_column(spark, tmp_path, table):
+    table.add_column("extra", "long")
+    t = ManifestTable(spark, table.root, key_columns=["repo", "path"])
+    t.drop_column("v")
+    assert t.current_snapshot().properties["stats_columns"] == ""
+
+
+def test_stats_columns_forward_declared_name_survives_ddl(spark, tmp_path):
+    """A stats_columns name not (yet) in the schema is user intent for a
+    future column — DDL must not erase it."""
+    t = ManifestTable.create(
+        spark, os.path.join(str(tmp_path), "fw"), SCHEMA,
+        key_columns=["repo", "path"], num_buckets=4,
+        properties={"stats_columns": "v,size_bytes"},
+    )
+    t.rename_column("v", "version")
+    assert t.current_snapshot().properties["stats_columns"] == "version,size_bytes"
+    t.add_column("size_bytes", "long")
+    assert t.current_snapshot().properties["stats_columns"] == "version,size_bytes"
