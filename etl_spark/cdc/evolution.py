@@ -27,7 +27,7 @@ KNOWN_KINDS = ("add_column", "rename_column", "widen_type", "drop_column")
 _REQUIRED_DETAIL = {"rename_column": "new_name", "widen_type": "new_type"}
 
 
-def check_schema_ops(rows) -> None:
+def check_schema_ops(rows, key_columns: list[str] | None = None) -> None:
     """Refuse a malformed schema-ops feed loudly, before any op commits.
 
     The ops frame is user-supplied (``ReplayEngine.replay(schema_ops=)``,
@@ -40,6 +40,14 @@ def check_schema_ops(rows) -> None:
     exactly-once ledger (``applied_schema_ops``) is keyed by offset; and
     a missing detail key fails only when its batch is reached — AFTER
     earlier ops have already committed schema versions.
+
+    With ``key_columns`` (the CDC engine passes its own), the statically
+    knowable column guards are ALSO checked up front — rename/widen/drop
+    of a key column, rename/drop of the CDC contract columns
+    (``content``/``commit``) or the engine-managed row-metadata columns —
+    so a replay never half-applies a feed whose later op is doomed.
+    Schema-state-dependent guards (rename collision, no-such-column)
+    necessarily stay apply-time.
     """
     seen: dict = {}
     for r in rows:
@@ -83,6 +91,41 @@ def check_schema_ops(rows) -> None:
                 f"schema-op {kind} {col!r} at offset {off} requires "
                 f"detail key {req!r} (got {sorted(d)})"
             )
+        if key_columns is not None and kind != "add_column":
+            guard = _column_guard(kind, col, key_columns)
+            if guard:
+                raise ValueError(f"schema-op at offset {off}: {guard}")
+
+
+#: row-metadata columns the engine recomputes by name every batch
+#: (mirrors manifest._ENGINE_MANAGED_COLS; duplicated to keep the ops
+#: contract check importable without the table layer)
+_ENGINE_MANAGED = ("content_sha256", "_ingest_offset", "_ingest_batch", "_deleted")
+
+
+def _column_guard(kind: str, column: str, key_columns: list[str]) -> str | None:
+    """The statically knowable reasons a rename/widen/drop must refuse at
+    the CDC layer, shared by the up-front feed check and apply time."""
+    if column in key_columns:
+        return (
+            f"cannot {kind.split('_')[0]} key column {column!r}: the "
+            "bucket layout and LWW key identity depend on it "
+            "(rebucket/recreate instead)"
+        )
+    if kind in ("rename_column", "drop_column"):
+        if column in ("content", "commit"):
+            return (
+                f"cannot {kind.split('_')[0]} {column!r}: the CDC merge "
+                "references it by name every batch (content -> "
+                "content_sha256 fingerprint; commit -> LWW order and "
+                "tombstone watermark)"
+            )
+        if column in _ENGINE_MANAGED:
+            return (
+                f"cannot {kind.split('_')[0]} engine-managed column "
+                f"{column!r}: the write path recomputes it every batch"
+            )
+    return None
 
 
 def apply_evolution_op(
@@ -98,6 +141,16 @@ def apply_evolution_op(
     the batch's data commit) leaves the op durably recorded and resume
     never re-applies it."""
     d = json.loads(detail) if detail else {}
+    # key/engine-managed columns are refused by the table layer too; the
+    # CDC layer additionally pins its WAL-contract columns (`content`:
+    # the per-row sha256 fingerprint derives from it; `commit`: the LWW
+    # total order and tombstone watermark compare it by name). Enforced
+    # here for direct calls AND up front by check_schema_ops so a replay
+    # never half-applies a feed whose later op is doomed.
+    if kind != "add_column":
+        guard = _column_guard(kind, column, table.key_columns)
+        if guard:
+            raise ValueError(guard)
     if kind == "add_column":
         table.add_column(column, d.get("type", "string"), d.get("default"), properties_update)
     elif kind == "rename_column":
@@ -105,15 +158,6 @@ def apply_evolution_op(
     elif kind == "widen_type":
         table.widen_type(column, d["new_type"], properties_update)
     elif kind == "drop_column":
-        # key/engine-managed columns are refused by the table layer; the
-        # CDC layer additionally pins `content`: the per-row sha256
-        # fingerprint invariant (north_rule) derives from it, so a table
-        # without it cannot compute content_sha256 on the next batch
-        if column == "content":
-            raise ValueError(
-                "cannot drop 'content': the engine's content_sha256 "
-                "fingerprint is computed from it on every write"
-            )
         table.drop_column(column, properties_update)
     else:
         raise ValueError(f"unknown schema-evolution kind: {kind!r}")

@@ -781,7 +781,7 @@ class ReplayEngine:
         if schema_ops is not None:
             # ops frames are tiny (DDL events) — validate the whole feed
             # driver-side before any op can commit a schema version
-            check_schema_ops(schema_ops.collect())
+            check_schema_ops(schema_ops.collect(), self.table.key_columns)
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
                 changelog, bounds, sorted(batches), delete_guard, pipeline_depth,
@@ -1264,7 +1264,7 @@ class ReplayEngine:
             # also sees rows a `offset <= hi` pushdown would hide (NULL
             # offsets from malformed PERMISSIVE-mode lines)
             ops_rows = schema_ops.collect()
-            check_schema_ops(ops_rows)
+            check_schema_ops(ops_rows, self.table.key_columns)
             applied_ops = set(snap.properties.get("applied_schema_ops", []))
             pending = sorted(
                 (

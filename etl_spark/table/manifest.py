@@ -2003,6 +2003,21 @@ class ManifestTable:
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             if not any(c.name == old for c in cols):
                 raise ValueError(f"no column {old!r}")
+            if old in self.key_columns:
+                # key_columns and bucket_expr reference keys BY NAME; a
+                # renamed key wedges every subsequent merge/lookup after
+                # the DDL already committed (and the WAL contract pins
+                # the event column names anyway)
+                raise ValueError(
+                    f"cannot rename key column {old!r}: the bucket layout "
+                    "and LWW key identity reference it by name "
+                    "(rebucket/recreate instead)"
+                )
+            if old in _ENGINE_MANAGED_COLS:
+                raise ValueError(
+                    f"cannot rename engine-managed column {old!r}: the "
+                    "write path recomputes it by name every batch"
+                )
             if any(c.name == new for c in cols):
                 # a duplicate-name schema silently corrupts every by-name
                 # lookup (reads select the name twice, stats/key maps
@@ -2020,6 +2035,17 @@ class ManifestTable:
 
     def widen_type(self, name: str, new_type: str, properties_update: dict | None = None) -> Snapshot:
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
+            if name in self.key_columns:
+                # the bucket function hashes key VALUES BY TYPE:
+                # murmur3(int x) != murmur3(long x) for the same x, so a
+                # widened key silently re-routes every existing key to a
+                # different bucket — later upserts/deletes for a stored
+                # key land elsewhere (duplicate, undeletable rows)
+                raise ValueError(
+                    f"cannot widen key column {name!r}: the bucket hash is "
+                    "type-sensitive, so existing keys would re-route to "
+                    "different buckets (rebucket/recreate instead)"
+                )
             for c in cols:
                 if c.name == name:
                     if c.type != new_type and (c.type, new_type) not in _WIDEN_OK:

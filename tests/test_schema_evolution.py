@@ -160,3 +160,73 @@ def test_rename_onto_existing_name_refused(spark, tmp_path, changelog):
     # schema unchanged: no version bump, no duplicate names
     names = [c.name for c in eng.table.current_snapshot().schema.columns]
     assert names.count("content") == 1 and "lang" in names
+
+
+def test_key_and_engine_column_renames_refused(spark, tmp_path, changelog):
+    """key_columns and the engine's write path reference these names
+    every batch — a rename would wedge the NEXT merge after the DDL
+    already committed a schema version."""
+    eng = ReplayEngine(spark, str(tmp_path / "t_guard"), num_buckets=4)
+    eng.replay(changelog, batches=[0])
+    with pytest.raises(ValueError, match="key column"):
+        eng.table.rename_column("repo", "repository")
+    with pytest.raises(ValueError, match="engine-managed"):
+        eng.table.rename_column("_deleted", "gone")
+
+
+def test_widen_key_column_refused(spark, tmp_path):
+    """murmur3(int x) != murmur3(long x): widening a key re-routes every
+    stored key to a different bucket — silent duplicate/undeletable rows."""
+    t = ManifestTable.create(
+        spark, str(tmp_path / "t_intkey"),
+        TableSchema([ColumnDef(1, "k", "int"), ColumnDef(2, "v", "string")]),
+        key_columns=["k"], num_buckets=4,
+    )
+    with pytest.raises(ValueError, match="type-sensitive"):
+        t.widen_type("k", "long")
+
+
+def test_cdc_contract_columns_pinned_against_rename_and_drop(
+    spark, tmp_path, changelog
+):
+    """content (sha256 source) and commit (LWW order, tombstone
+    watermark) are referenced by name in every merge — the CDC layer
+    refuses rename/drop for both, before any schema version commits."""
+    from etl_spark.cdc.evolution import apply_evolution_op
+
+    eng = ReplayEngine(spark, str(tmp_path / "t_pin"), num_buckets=4)
+    eng.replay(changelog, batches=[0])
+    v0 = eng.table.current_snapshot().version
+    for kind, col in [
+        ("rename_column", "content"), ("drop_column", "content"),
+        ("rename_column", "commit"), ("drop_column", "commit"),
+    ]:
+        detail = json.dumps({"new_name": "x"}) if kind == "rename_column" else None
+        with pytest.raises(ValueError, match="CDC merge references it by name"):
+            apply_evolution_op(eng.table, kind, col, detail)
+    assert eng.table.current_snapshot().version == v0
+
+
+def test_doomed_late_op_refused_before_any_batch_applies(
+    spark, tmp_path, changelog
+):
+    """Statically knowable column guards (key/contract/engine-managed)
+    are checked up front with the feed contract: a guarded op whose
+    batch is LAST must stop the replay before batch 0 commits, not
+    half-apply the log and wedge mid-replay."""
+    eng = ReplayEngine(spark, str(tmp_path / "t_doomed"), num_buckets=4)
+    for kind, col, match in [
+        ("rename_column", "commit", "CDC merge references it by name"),
+        ("drop_column", "content", "CDC merge references it by name"),
+        ("widen_type", "repo", "key column"),
+        ("rename_column", "_deleted", "engine-managed"),
+    ]:
+        detail = (
+            json.dumps({"new_name": "x"}) if kind == "rename_column"
+            else json.dumps({"new_type": "long"}) if kind == "widen_type"
+            else None
+        )
+        ops = _ops(spark, [(1100, kind, col, detail)])  # inside batch 2
+        with pytest.raises(ValueError, match=match):
+            eng.replay(changelog, schema_ops=ops)
+        assert eng.applied_batches() == []
