@@ -91,7 +91,7 @@ def check_schema_ops(rows, key_columns: list[str] | None = None) -> None:
                 f"schema-op {kind} {col!r} at offset {off} requires "
                 f"detail key {req!r} (got {sorted(d)})"
             )
-        if key_columns is not None and kind != "add_column":
+        if key_columns is not None:
             guard = _column_guard(kind, col, key_columns)
             if guard:
                 raise ValueError(f"schema-op at offset {off}: {guard}")
@@ -104,8 +104,21 @@ _ENGINE_MANAGED = ("content_sha256", "_ingest_offset", "_ingest_batch", "_delete
 
 
 def _column_guard(kind: str, column: str, key_columns: list[str]) -> str | None:
-    """The statically knowable reasons a rename/widen/drop must refuse at
-    the CDC layer, shared by the up-front feed check and apply time."""
+    """The statically knowable reasons a DDL op must refuse at the CDC
+    layer, shared by the up-front feed check and apply time."""
+    if kind == "add_column":
+        # WAL-internal routing columns: the merge's winner frame carries
+        # them alongside the payload, so a stored column of the same
+        # name would silently capture the EVENT's op code / offset /
+        # batch id for every post-DDL winner instead of the declared
+        # default (probed: add_column 'op' default 'Z' stored 'U'/'I')
+        if column in ("op", "offset", "batch_id"):
+            return (
+                f"cannot add column {column!r}: the name is reserved by "
+                "the WAL contract (the merge would silently store the "
+                "event's routing value in it instead of the default)"
+            )
+        return None
     if column in key_columns:
         return (
             f"cannot {kind.split('_')[0]} key column {column!r}: the "
@@ -147,10 +160,9 @@ def apply_evolution_op(
     # total order and tombstone watermark compare it by name). Enforced
     # here for direct calls AND up front by check_schema_ops so a replay
     # never half-applies a feed whose later op is doomed.
-    if kind != "add_column":
-        guard = _column_guard(kind, column, table.key_columns)
-        if guard:
-            raise ValueError(guard)
+    guard = _column_guard(kind, column, table.key_columns)
+    if guard:
+        raise ValueError(guard)
     if kind == "add_column":
         table.add_column(column, d.get("type", "string"), d.get("default"), properties_update)
     elif kind == "rename_column":

@@ -230,3 +230,24 @@ def test_doomed_late_op_refused_before_any_batch_applies(
         with pytest.raises(ValueError, match=match):
             eng.replay(changelog, schema_ops=ops)
         assert eng.applied_batches() == []
+
+
+def test_wal_reserved_names_refused_for_add(spark, tmp_path, changelog):
+    """The merge's winner frame carries the WAL's routing columns next to
+    the payload, so a stored column named op/offset/batch_id silently
+    captures the EVENT's value for every post-DDL winner instead of the
+    declared default — refused up front."""
+    eng = ReplayEngine(spark, str(tmp_path / "t_reserved"), num_buckets=4)
+    for name in ("op", "offset", "batch_id"):
+        ops = _ops(spark, [(450, "add_column", name,
+                            json.dumps({"type": "string", "default": "Z"}))])
+        with pytest.raises(ValueError, match="reserved by the WAL contract"):
+            eng.replay(changelog, schema_ops=ops)
+        assert eng.applied_batches() == []
+    # non-reserved names (including engine-internal temp names, which are
+    # dropped before the final select) still work: defaults backfill
+    ops = _ops(spark, [(450, "add_column", "__ord",
+                        json.dumps({"type": "string", "default": "Z"}))])
+    eng.replay(changelog, schema_ops=ops)
+    vals = {r[0] for r in eng.read_state().select("__ord").distinct().collect()}
+    assert vals == {"Z"}
