@@ -251,3 +251,27 @@ def test_wal_reserved_names_refused_for_add(spark, tmp_path, changelog):
     eng.replay(changelog, schema_ops=ops)
     vals = {r[0] for r in eng.read_state().select("__ord").distinct().collect()}
     assert vals == {"Z"}
+
+
+def test_rename_to_wal_reserved_name_is_safe(spark, tmp_path, changelog):
+    """RENAMING a payload column to a WAL routing name is safe — and pinned
+    so: the merge projects stored columns by their ORIGINAL wire name
+    (the name the column id was first added under), so a column renamed
+    to 'op' keeps reading its own wire (here: nothing — defaults), never
+    the event's routing value. Contrast with add_column, where the fresh
+    id's wire name IS the reserved name and capture would be silent."""
+    ops = _ops(
+        spark,
+        [
+            (100, "add_column", "note", json.dumps({"type": "string", "default": "N"})),
+            (450, "rename_column", "note", json.dumps({"new_name": "op"})),
+        ],
+    )
+    eng = ReplayEngine(spark, str(tmp_path / "t_rn_reserved"), num_buckets=4)
+    eng.replay(changelog, schema_ops=ops)
+    state = eng.read_state()
+    assert "op" in state.columns
+    # batches 1-2 merge post-rename winners; if the projection read the
+    # WAL's op instead of the wire, these would be 'U'/'I'/'D'
+    vals = {r[0] for r in state.select("op").distinct().collect()}
+    assert vals == {"N"}
