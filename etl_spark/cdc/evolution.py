@@ -103,6 +103,78 @@ def check_schema_ops(rows, key_columns: list[str] | None = None) -> None:
 _ENGINE_MANAGED = ("content_sha256", "_ingest_offset", "_ingest_batch", "_deleted")
 
 
+def simulate_schema_ops(
+    current_columns,
+    rows,
+    fence: int = -1,
+    applied_offsets=(),
+) -> dict[str, str]:
+    """Dry-run every PENDING op of an (already contract-checked) feed
+    against the current schema, raising the refusal apply time would —
+    BEFORE any op commits a schema version.
+
+    ``check_schema_ops`` covers the statically knowable guards; the
+    state-dependent ones (no-such-column, name collision, non-widenable
+    type) used to surface only at apply time, AFTER earlier ops had
+    already committed — a half-applied feed. But at replay start the
+    schema state at every op is fully determined: data batches never
+    change the schema, so it is the current schema plus the feed's own
+    prior ops, in offset order. Simulating name->type through the
+    pending ops makes every state-dependent refusal up-front too.
+
+    ``current_columns``: (name, type) pairs of the CURRENT stored schema
+    (engine-managed columns included — they live in the schema).
+    Ops at/below ``fence`` or in ``applied_offsets`` are skipped, exactly
+    as the apply path skips them, so re-validating a feed that is
+    already partially applied cannot raise a false "already exists".
+    Returns the simulated final name->type map (for tests/tooling).
+    """
+    # single source for the widening lattice — drift between the
+    # simulation and the table layer would make this check lie
+    from etl_spark.table.manifest import _WIDEN_OK
+
+    applied = set(applied_offsets)
+    names: dict[str, str] = {str(n): str(t) for n, t in current_columns}
+    pending = sorted(
+        (r for r in rows if r["offset"] > fence and r["offset"] not in applied),
+        key=lambda r: r["offset"],
+    )
+    for r in pending:
+        off, kind, col = r["offset"], r["kind"], r["column"]
+        d = json.loads(r["detail"]) if r["detail"] else {}
+
+        def fail(msg: str, off=off) -> None:
+            raise ValueError(
+                f"schema-op at offset {off} is doomed: {msg} (refused up "
+                "front — no batch or earlier op has applied)"
+            )
+
+        if kind == "add_column":
+            if col in names:
+                fail(f"column {col!r} already exists")
+            names[col] = str(d.get("type", "string"))
+        elif kind == "rename_column":
+            new = d["new_name"]
+            if col not in names:
+                fail(f"no column {col!r}")
+            if new in names:
+                fail(f"cannot rename {col!r} to {new!r}: column {new!r} already exists")
+            names[new] = names.pop(col)
+        elif kind == "widen_type":
+            new_t = str(d["new_type"])
+            if col not in names:
+                fail(f"no column {col!r}")
+            cur_t = names[col]
+            if cur_t != new_t and (cur_t, new_t) not in _WIDEN_OK:
+                fail(f"cannot widen {cur_t} -> {new_t}")
+            names[col] = new_t
+        elif kind == "drop_column":
+            if col not in names:
+                fail(f"no column {col!r}")
+            del names[col]
+    return names
+
+
 def _column_guard(kind: str, column: str, key_columns: list[str]) -> str | None:
     """The statically knowable reasons a DDL op must refuse at the CDC
     layer, shared by the up-front feed check and apply time."""

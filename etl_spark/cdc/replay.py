@@ -33,7 +33,11 @@ import time
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from etl_spark.cdc.evolution import apply_evolution_op, check_schema_ops
+from etl_spark.cdc.evolution import (
+    apply_evolution_op,
+    check_schema_ops,
+    simulate_schema_ops,
+)
 from etl_spark.cdc.merge import merge_batch
 from etl_spark.schema import INGEST_METRICS_SCHEMA
 from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
@@ -780,8 +784,19 @@ class ReplayEngine:
         )
         if schema_ops is not None:
             # ops frames are tiny (DDL events) — validate the whole feed
-            # driver-side before any op can commit a schema version
-            check_schema_ops(schema_ops.collect(), self.table.key_columns)
+            # driver-side before any op can commit a schema version,
+            # then dry-run the pending ops against the current schema so
+            # the state-dependent refusals (no-such-column, collision,
+            # non-widenable type) are up-front too, never half-applied
+            ops_rows0 = schema_ops.collect()
+            check_schema_ops(ops_rows0, self.table.key_columns)
+            snap0 = self.table.current_snapshot()
+            simulate_schema_ops(
+                [(c.name, c.type) for c in snap0.schema.columns],
+                ops_rows0,
+                fence=int(props0.get("fence_offset", -1)),
+                applied_offsets=props0.get("applied_schema_ops", []),
+            )
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
                 changelog, bounds, sorted(batches), delete_guard, pipeline_depth,
@@ -1265,6 +1280,12 @@ class ReplayEngine:
             # offsets from malformed PERMISSIVE-mode lines)
             ops_rows = schema_ops.collect()
             check_schema_ops(ops_rows, self.table.key_columns)
+            simulate_schema_ops(
+                [(c.name, c.type) for c in snap.schema.columns],
+                ops_rows,
+                fence=fence,
+                applied_offsets=snap.properties.get("applied_schema_ops", []),
+            )
             applied_ops = set(snap.properties.get("applied_schema_ops", []))
             pending = sorted(
                 (

@@ -121,3 +121,99 @@ def test_valid_feed_still_replays(spark, tmp_path, changelog):
     results = run()
     assert sum(r["schema_ops"] for r in results) == 1
     assert "size_bytes" in eng.read_state().columns
+
+
+# --- full-feed dry run: state-dependent refusals are up-front too -------
+
+
+def test_doomed_late_state_dependent_op_refused_up_front(spark, tmp_path, changelog):
+    """A rename of a column that never exists sits LATE in the feed; the
+    old behavior applied the early op (committing a schema version) and
+    only then hit the refusal. The dry run refuses the whole feed before
+    any batch or op applies."""
+    ops = _ops(spark, [
+        (100, "add_column", "early", json.dumps({"type": "string"})),
+        (800, "rename_column", "never_existed", json.dumps({"new_name": "x"})),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_sim_late")
+    with pytest.raises(ValueError, match="doomed.*no column 'never_existed'"):
+        run()
+    assert eng.applied_batches() == []
+    snap = eng.table.current_snapshot()
+    assert snap.current_schema_version == 1
+    assert "early" not in [c.name for c in snap.schema.columns]
+
+
+def test_in_feed_collision_and_lattice_refused_up_front(spark, tmp_path, changelog):
+    """State-dependent defects among the feed's OWN ops: a rename onto a
+    name an earlier op adds, and a widen outside the lattice of a type an
+    earlier op declared."""
+    collide = _ops(spark, [
+        (100, "add_column", "x", json.dumps({"type": "string"})),
+        (800, "rename_column", "lang", json.dumps({"new_name": "x"})),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, collide, "t_sim_collide")
+    with pytest.raises(ValueError, match="doomed.*column 'x' already exists"):
+        run()
+    assert eng.applied_batches() == []
+
+    narrow = _ops(spark, [
+        (100, "add_column", "n", json.dumps({"type": "int"})),
+        (800, "widen_type", "n", json.dumps({"new_type": "string"})),
+    ])
+    eng2, run2 = _replay(spark, tmp_path, changelog, narrow, "t_sim_narrow")
+    with pytest.raises(ValueError, match="doomed.*cannot widen int -> string"):
+        run2()
+    assert eng2.applied_batches() == []
+
+
+def test_full_lifecycle_feed_not_false_refused(spark, tmp_path, changelog):
+    """The dry run tracks the feed's own state: add -> widen -> rename ->
+    drop of the same column is valid and must apply cleanly."""
+    ops = _ops(spark, [
+        (100, "add_column", "x", json.dumps({"type": "int"})),
+        (450, "widen_type", "x", json.dumps({"new_type": "long"})),
+        (460, "rename_column", "x", json.dumps({"new_name": "y"})),
+        (800, "drop_column", "y", None),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_sim_ok")
+    results = run()
+    assert sum(r["schema_ops"] for r in results) == 4
+    names = [c.name for c in eng.table.current_snapshot().schema.columns]
+    assert "x" not in names and "y" not in names
+
+
+def test_revalidating_applied_feed_not_false_refused(spark, tmp_path, changelog):
+    """Resume/rerun hands the SAME feed back; ops at/below the fence (or
+    in applied_schema_ops) are skipped by the dry run exactly as the
+    apply path skips them — no false 'already exists' on the second run."""
+    ops = _ops(spark, [(450, "add_column", "x", json.dumps({"type": "string"}))])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_sim_rerun")
+    run()
+    results = eng.replay(changelog, schema_ops=ops)  # pure no-op rerun
+    assert all(r["skipped"] for r in results)
+    assert "x" in [c.name for c in eng.table.current_snapshot().schema.columns]
+
+
+def test_simulate_schema_ops_pure():
+    from etl_spark.cdc.evolution import simulate_schema_ops
+
+    cur = [("k", "string"), ("v", "int")]
+    rows = [
+        {"offset": 5, "kind": "widen_type", "column": "v",
+         "detail": json.dumps({"new_type": "long"})},
+        {"offset": 2, "kind": "rename_column", "column": "v",
+         "detail": json.dumps({"new_name": "w"})},
+    ]
+    # offset order matters: rename at 2 runs first, so the widen at 5
+    # targets the OLD name and must refuse...
+    with pytest.raises(ValueError, match="no column 'v'"):
+        simulate_schema_ops(cur, rows)
+    # ...unless the rename is already applied and the caller says so by
+    # fence (<=2) — then only the widen is pending, against the schema AS
+    # GIVEN (which still names it v)
+    out = simulate_schema_ops(cur, rows, fence=2)
+    assert out["v"] == "long"
+    # or by the applied-offsets ledger
+    out = simulate_schema_ops(cur, rows, applied_offsets=[2])
+    assert out["v"] == "long"
