@@ -16,7 +16,9 @@ from __future__ import annotations
 
 import json
 
-from etl_spark.table.manifest import ManifestTable
+from pyspark.sql import SparkSession
+
+from etl_spark.table.manifest import ManifestTable, validate_column_type
 
 #: the full DDL family; ``apply_evolution_op`` and the up-front ops
 #: contract check (``check_schema_ops``) share this single source
@@ -152,6 +154,18 @@ def simulate_schema_ops(
         if kind == "add_column":
             if col in names:
                 fail(f"column {col!r} already exists")
+            # an unparseable type or uncastable default commits fine and
+            # then wedges every later read/merge — run the table layer's
+            # pre-commit validation here so the whole feed is refused
+            # before ANY op applies (apply time re-checks regardless)
+            sess = SparkSession.getActiveSession()
+            if sess is not None:
+                try:
+                    validate_column_type(
+                        sess, str(d.get("type", "string")), d.get("default")
+                    )
+                except ValueError as e:
+                    fail(str(e))
             names[col] = str(d.get("type", "string"))
         elif kind == "rename_column":
             new = d["new_name"]

@@ -165,6 +165,58 @@ class TableSchema:
 _WIDEN_OK = {("int", "long"), ("int", "double"), ("long", "double"), ("float", "double")}
 
 
+def validate_column_type(
+    spark: SparkSession, type_: str, default: object | None = None
+) -> None:
+    """Refuse a new column's type/default if the read path could not
+    execute it — BEFORE the DDL commits a schema version.
+
+    ``add_column`` stores ``type_`` verbatim; every later read then
+    projects file groups with ``F.col(...).cast(type_)``, fills pre-DDL
+    rows with ``F.lit(default).cast(type_)`` (``_project_to_schema``),
+    and parses the schema's DDL string for empty frames. An unvalidated
+    type therefore WEDGES the table: the snapshot commits, then every
+    subsequent read and merge raises (probed: type ``'strnig'`` →
+    ParseException on every read_state/apply_batch; default ``'abc'``
+    for an int column → CAST_INVALID_INPUT at the first post-DDL
+    projection). Validate with the exact expressions the read path
+    will run.
+    """
+    from pyspark.sql.types import _parse_datatype_string
+
+    try:
+        _parse_datatype_string(type_)
+    except Exception as e:
+        first = str(e).strip().splitlines()[0] if str(e).strip() else type(e).__name__
+        raise ValueError(
+            f"cannot add a column of type {type_!r}: not a parseable Spark "
+            f"DDL type ({first}) — the schema would commit but every "
+            "subsequent read and merge would fail parsing it"
+        ) from None
+    if default is not None:
+        try:
+            got = (
+                spark.range(1)
+                .select(F.lit(default).cast(type_).alias("v"))
+                .first()["v"]
+            )
+        except Exception as e:
+            first = str(e).strip().splitlines()[0] if str(e).strip() else type(e).__name__
+            raise ValueError(
+                f"cannot add a column with default {default!r} as {type_!r}: "
+                "reads fill pre-DDL rows with lit(default) cast to the column "
+                f"type, which fails ({first}) — the schema would commit but "
+                "every subsequent read of a pre-DDL row would fail the cast"
+            ) from None
+        if got is None:
+            raise ValueError(
+                f"cannot add a column with default {default!r} as {type_!r}: "
+                "the declared default casts to NULL under this session's "
+                "semantics, so pre-DDL rows would silently read back NULL "
+                "instead of the default — fix the default's type or drop it"
+            )
+
+
 @dataclass
 class Snapshot:
     version: int
@@ -1991,6 +2043,11 @@ class ManifestTable:
         self, name: str, type_: str, default: object | None = None,
         properties_update: dict | None = None,
     ) -> Snapshot:
+        # refuse an unreadable type/default BEFORE the snapshot commits
+        # (an invalid one wedges every later read/merge — see
+        # validate_column_type)
+        validate_column_type(self.spark, type_, default)
+
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             if any(c.name == name for c in cols):
                 raise ValueError(f"column {name!r} already exists")

@@ -217,3 +217,60 @@ def test_simulate_schema_ops_pure():
     # or by the applied-offsets ledger
     out = simulate_schema_ops(cur, rows, applied_offsets=[2])
     assert out["v"] == "long"
+
+
+def test_unreadable_add_column_type_refused_up_front(spark, tmp_path, changelog):
+    """A typo'd type string used to COMMIT its schema version and only
+    then wedge the table: every later read_state/apply_batch raised
+    ParseException on the stored type, with no way back (probed:
+    add_column type 'strnig'). Now the dry run refuses the feed before
+    anything applies, and the table keeps working."""
+    ops = _ops(spark, [
+        (250, "add_column", "size_bytes", json.dumps({"type": "strnig"})),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_badtype")
+    with pytest.raises(ValueError, match="doomed.*not a parseable Spark DDL type"):
+        run()
+    assert eng.applied_batches() == []
+    assert eng.table.current_snapshot().current_schema_version == 1
+    # not wedged: plain batches still apply and read back
+    r = eng.apply_batch(changelog, 0)
+    assert not r["skipped"]
+    assert eng.read_state().count() > 0
+
+
+def test_uncastable_add_column_default_refused_up_front(spark, tmp_path, changelog):
+    """A default its own column type cannot cast used to commit, then the
+    first post-DDL projection of pre-DDL rows died in CAST_INVALID_INPUT
+    (ANSI) — wedged exactly like the bad type."""
+    ops = _ops(spark, [
+        (250, "add_column", "n_stars",
+         json.dumps({"type": "int", "default": "abc"})),
+    ])
+    eng, run = _replay(spark, tmp_path, changelog, ops, "t_baddefault")
+    with pytest.raises(ValueError, match="doomed.*reads fill pre-DDL rows"):
+        run()
+    assert eng.applied_batches() == []
+    assert eng.table.current_snapshot().current_schema_version == 1
+
+
+def test_direct_table_add_column_validates_pre_commit(spark, tmp_path):
+    """Defense in depth: the table-layer API refuses BEFORE the snapshot
+    commits (direct callers bypass the feed dry-run)."""
+    from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
+
+    t = ManifestTable.create(
+        spark, str(tmp_path / "direct"),
+        TableSchema([ColumnDef(1, "k", "string"), ColumnDef(2, "v", "string")]),
+        key_columns=["k"], num_buckets=2,
+    )
+    with pytest.raises(ValueError, match="not a parseable Spark DDL type"):
+        t.add_column("bad", "strnig")
+    with pytest.raises(ValueError, match="reads fill pre-DDL rows"):
+        t.add_column("n", "int", default="abc")
+    assert t.current_snapshot().current_schema_version == 1
+    # valid adds (typed default, complex type) still commit
+    t.add_column("n", "int", default=5)
+    t.add_column("tags", "array<string>")
+    cols = {c.name: c.type for c in t.current_snapshot().schema.columns}
+    assert cols["n"] == "int" and cols["tags"] == "array<string>"
