@@ -817,6 +817,40 @@ class ManifestTable:
         num_buckets: int = 16,
         properties: dict | None = None,
     ) -> "ManifestTable":
+        # refuse an unusable schema BEFORE snapshot v0 commits (probed:
+        # a typo'd column type creates fine, then every read raises
+        # ParseException; duplicate names/ids silently corrupt by-name
+        # selects and the by_id evolution maps; a key column absent from
+        # the schema fails only at the first merge, possibly after files
+        # landed)
+        names = [c.name for c in schema.columns]
+        dup_names = sorted({n for n in names if names.count(n) > 1})
+        if dup_names:
+            raise ValueError(
+                f"cannot create table with duplicate column names {dup_names}: "
+                "by-name reads would select the name twice and stats/key maps "
+                "collapse to one winner"
+            )
+        ids = [c.id for c in schema.columns]
+        dup_ids = sorted({i for i in ids if ids.count(i) > 1})
+        if dup_ids:
+            raise ValueError(
+                f"cannot create table with duplicate column ids {dup_ids}: "
+                "schema evolution tracks columns by id, so two columns "
+                "sharing one would alias each other through every DDL op"
+            )
+        missing = [k for k in key_columns if k not in names]
+        if missing:
+            raise ValueError(
+                f"key column(s) {missing} not in the schema "
+                f"(columns: {names}) — the bucket layout and LWW identity "
+                "hash key columns by name"
+            )
+        for c in schema.columns:
+            try:
+                validate_column_type(spark, c.type, c.default)
+            except ValueError as e:
+                raise ValueError(f"column {c.name!r}: {e}") from None
         t = ManifestTable(spark, root, key_columns)
         os.makedirs(t._snap_dir, exist_ok=True)
         os.makedirs(t._data_dir, exist_ok=True)
