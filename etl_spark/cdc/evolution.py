@@ -152,7 +152,9 @@ def simulate_schema_ops(
             )
 
         if kind == "add_column":
-            if col in names:
+            # collision modulo case, mirroring the table layer: Spark
+            # resolves references case-insensitively by default
+            if any(n.lower() == col.lower() for n in names):
                 fail(f"column {col!r} already exists")
             # an unparseable type or uncastable default commits fine and
             # then wedges every later read/merge — run the table layer's
@@ -171,7 +173,10 @@ def simulate_schema_ops(
             new = d["new_name"]
             if col not in names:
                 fail(f"no column {col!r}")
-            if new in names:
+            # case-insensitive collision, the renamed column itself
+            # exempt so a pure case change stays legal (table-layer
+            # semantics)
+            if any(n.lower() == new.lower() and n != col for n in names):
                 fail(f"cannot rename {col!r} to {new!r}: column {new!r} already exists")
             names[new] = names.pop(col)
         elif kind == "widen_type":
@@ -197,8 +202,10 @@ def _column_guard(kind: str, column: str, key_columns: list[str]) -> str | None:
         # them alongside the payload, so a stored column of the same
         # name would silently capture the EVENT's op code / offset /
         # batch id for every post-DDL winner instead of the declared
-        # default (probed: add_column 'op' default 'Z' stored 'U'/'I')
-        if column in ("op", "offset", "batch_id"):
+        # default (probed: add_column 'op' default 'Z' stored 'U'/'I').
+        # Compared case-insensitively: Spark's default resolution would
+        # bind a stored 'Op' to the event frame's 'op' just the same.
+        if column.lower() in ("op", "offset", "batch_id"):
             return (
                 f"cannot add column {column!r}: the name is reserved by "
                 "the WAL contract (the merge would silently store the "

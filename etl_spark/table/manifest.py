@@ -823,13 +823,20 @@ class ManifestTable:
         # selects and the by_id evolution maps; a key column absent from
         # the schema fails only at the first merge, possibly after files
         # landed)
+        # duplicate modulo case: Spark resolves column references
+        # case-insensitively by default, so 'V' next to 'v' passes an
+        # exact check and then the FIRST write dies AMBIGUOUS_REFERENCE
+        # (probed) — and the table outlives whatever caseSensitive conf
+        # created it, so refuse case collisions unconditionally
         names = [c.name for c in schema.columns]
-        dup_names = sorted({n for n in names if names.count(n) > 1})
+        folded = [n.lower() for n in names]
+        dup_names = sorted({n for n in names if folded.count(n.lower()) > 1})
         if dup_names:
             raise ValueError(
-                f"cannot create table with duplicate column names {dup_names}: "
-                "by-name reads would select the name twice and stats/key maps "
-                "collapse to one winner"
+                f"cannot create table with duplicate column names {dup_names} "
+                "(compared case-insensitively — Spark's default resolution): "
+                "by-name reads would resolve ambiguously or select the name "
+                "twice, and stats/key maps collapse to one winner"
             )
         ids = [c.id for c in schema.columns]
         dup_ids = sorted({i for i in ids if ids.count(i) > 1})
@@ -2083,8 +2090,13 @@ class ManifestTable:
         validate_column_type(self.spark, type_, default)
 
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
-            if any(c.name == name for c in cols):
-                raise ValueError(f"column {name!r} already exists")
+            # collision modulo case: Spark resolves references
+            # case-insensitively by default, so 'V' next to 'v' commits
+            # fine and then by-name selects resolve ambiguously (probed)
+            clash = next((c.name for c in cols if c.name.lower() == name.lower()), None)
+            if clash is not None:
+                suffix = "" if clash == name else f" (as {clash!r} — names are compared case-insensitively, Spark's default resolution)"
+                raise ValueError(f"column {name!r} already exists{suffix}")
             next_id = max(c.id for c in cols) + 1
             return cols + [ColumnDef(next_id, name, type_, default)]
 
@@ -2109,13 +2121,22 @@ class ManifestTable:
                     f"cannot rename engine-managed column {old!r}: the "
                     "write path recomputes it by name every batch"
                 )
-            if any(c.name == new for c in cols):
-                # a duplicate-name schema silently corrupts every by-name
-                # lookup (reads select the name twice, stats/key maps
-                # collapse to one winner) — refuse like add_column does
+            # collision modulo case (Spark's default resolution is
+            # case-insensitive): a duplicate-name schema silently
+            # corrupts every by-name lookup (reads resolve ambiguously,
+            # stats/key maps collapse to one winner) — refuse like
+            # add_column does. The renamed column ITSELF is exempt so a
+            # pure case change (v -> V) stays legal.
+            clash = next(
+                (c.name for c in cols
+                 if c.name.lower() == new.lower() and c.name != old),
+                None,
+            )
+            if clash is not None:
+                detail = "" if clash == new else f" (as {clash!r}, case-insensitively)"
                 raise ValueError(
                     f"cannot rename {old!r} to {new!r}: column {new!r} "
-                    "already exists"
+                    f"already exists{detail}"
                 )
             for c in cols:
                 if c.name == old:

@@ -274,3 +274,29 @@ def test_direct_table_add_column_validates_pre_commit(spark, tmp_path):
     t.add_column("tags", "array<string>")
     cols = {c.name: c.type for c in t.current_snapshot().schema.columns}
     assert cols["n"] == "int" and cols["tags"] == "array<string>"
+
+
+def test_case_variant_collisions_and_reserved_names_refused(spark, tmp_path, changelog):
+    """Spark's default resolution is case-insensitive: 'Lang' next to
+    'lang' resolves ambiguously, and a stored 'Op' would bind to the
+    event frame's 'op' routing value just like exact-case 'op' would.
+    Both case variants are refused up front like their exact twins."""
+    for col, pat in [("Lang", "column 'Lang' already exists"),
+                     ("Op", "reserved by the WAL contract"),
+                     ("OFFSET", "reserved by the WAL contract")]:
+        ops = _ops(spark, [(250, "add_column", col, json.dumps({"type": "string"}))])
+        eng, run = _replay(spark, tmp_path, changelog, ops, f"t_case_{col}")
+        with pytest.raises(ValueError, match=pat):
+            run()
+        assert eng.applied_batches() == []
+    # rename into a case-colliding name refused; pure case rename legal
+    collide = _ops(spark, [(250, "rename_column", "lang",
+                            json.dumps({"new_name": "Content"}))])
+    eng, run = _replay(spark, tmp_path, changelog, collide, "t_case_ren")
+    with pytest.raises(ValueError, match="column 'Content' already exists"):
+        run()
+    purecase = _ops(spark, [(250, "rename_column", "lang",
+                             json.dumps({"new_name": "LANG"}))])
+    eng2 = ReplayEngine(spark, str(tmp_path / "t_case_pure"), num_buckets=4)
+    eng2.replay(changelog, schema_ops=purecase)
+    assert "LANG" in eng2.read_state().columns

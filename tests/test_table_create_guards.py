@@ -61,3 +61,26 @@ def test_valid_schema_with_typed_default_and_complex_type_creates(spark, tmp_pat
     t.overwrite(spark.createDataFrame(
         [("a", "x", 1, ["t"])], "k string, v string, n int, tags array<string>"))
     assert t.read().count() == 1
+
+
+def test_case_colliding_column_names_refused(spark, tmp_path):
+    """Spark resolves references case-insensitively by default, so 'V'
+    next to 'v' passed an exact check and the FIRST write then died
+    AMBIGUOUS_REFERENCE (probed) — with snapshot v0 already committed."""
+    with pytest.raises(ValueError, match="case-insensitively"):
+        _create(spark, tmp_path, "t7",
+                [ColumnDef(1, "k", "string"), ColumnDef(2, "V", "string"),
+                 ColumnDef(3, "v", "int")], ["k"])
+
+
+def test_table_api_case_collisions_refused_pure_case_rename_legal(spark, tmp_path):
+    t = _create(spark, tmp_path, "t8",
+                [ColumnDef(1, "k", "string"), ColumnDef(2, "v", "string"),
+                 ColumnDef(3, "w", "int")], ["k"])
+    with pytest.raises(ValueError, match="already exists .as 'v'"):
+        t.add_column("V", "int")
+    with pytest.raises(ValueError, match="already exists .as 'v'"):
+        t.rename_column("w", "V")
+    # a pure case change collides only with ITSELF — stays legal
+    t.rename_column("v", "V")
+    assert [c.name for c in t.current_snapshot().schema.columns][:3] == ["k", "V", "w"]
