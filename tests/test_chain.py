@@ -139,3 +139,38 @@ def test_chain_lost_watermark_is_idempotent(spark, tmp_path, changelog):
     assert not r2["skipped"]
     assert r2["events"] == 0  # everything fenced
     pd.testing.assert_frame_equal(_state(dst), before)
+
+
+def test_chain_across_upstream_ddl_refuses_then_syncs_after_matching_ddl(
+    spark, tmp_path, changelog
+):
+    """The operational DDL-propagation story end-to-end: an upstream
+    add_column makes the next sync refuse loudly (a silent column drop
+    would be a divergent replica); applying the matching DDL downstream
+    lets the SAME window sync, and the defaulted column arrives with
+    exact value parity."""
+    import json
+
+    from etl_spark.schema import SCHEMA_EVOLUTION_SCHEMA
+
+    src = ReplayEngine(spark, str(tmp_path / "sddl"), num_buckets=4)
+    dst = ReplayEngine(spark, str(tmp_path / "dddl"), num_buckets=4)
+    ops = spark.createDataFrame(
+        [(700, "add_column", "note", json.dumps({"type": "string", "default": "N"}))],
+        SCHEMA_EVOLUTION_SCHEMA,
+    )
+    src.replay(changelog, batches=[0])
+    propagate_changes(src, dst)
+    src.replay(changelog, batches=[1, 2, 3], schema_ops=ops)
+    with pytest.raises(ValueError, match="lacks upstream payload columns \\['note'\\]"):
+        propagate_changes(src, dst)
+    dst.table.add_column("note", "string", "N")
+    r = propagate_changes(src, dst)
+    assert not r["skipped"] and r["events"] > 0
+    cols = ["repo", "path", "commit", "content_sha256", "note"]
+    s = (src.read_state().select(cols).toPandas()
+         .sort_values(["repo", "path"]).reset_index(drop=True))
+    t = (dst.read_state().select(cols).toPandas()
+         .sort_values(["repo", "path"]).reset_index(drop=True))
+    assert s.equals(t)
+    assert set(t["note"].unique()) == {"N"}
