@@ -18,7 +18,11 @@ import json
 
 from pyspark.sql import SparkSession
 
-from etl_spark.table.manifest import ManifestTable, validate_column_type
+from etl_spark.table.manifest import (
+    ManifestTable,
+    check_column_name,
+    validate_column_type,
+)
 
 #: the full DDL family; ``apply_evolution_op`` and the up-front ops
 #: contract check (``check_schema_ops``) share this single source
@@ -152,6 +156,10 @@ def simulate_schema_ops(
             )
 
         if kind == "add_column":
+            try:
+                check_column_name(col)
+            except ValueError as e:
+                fail(str(e))
             # collision modulo case, mirroring the table layer: Spark
             # resolves references case-insensitively by default
             if any(n.lower() == col.lower() for n in names):
@@ -171,6 +179,10 @@ def simulate_schema_ops(
             names[col] = str(d.get("type", "string"))
         elif kind == "rename_column":
             new = d["new_name"]
+            try:
+                check_column_name(new)
+            except ValueError as e:
+                fail(str(e))
             if col not in names:
                 fail(f"no column {col!r}")
             # case-insensitive collision, the renamed column itself

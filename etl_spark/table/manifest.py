@@ -67,6 +67,7 @@ import hashlib
 import json
 import operator
 import os
+import re
 import uuid
 from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
@@ -163,6 +164,27 @@ class TableSchema:
 
 # type-widening lattice (Iceberg-compatible subset)
 _WIDEN_OK = {("int", "long"), ("int", "double"), ("long", "double"), ("float", "double")}
+
+
+#: the engine references columns by BARE name everywhere — unquoted
+#: ``name type`` DDL strings (``TableSchema.ddl``), ``F.col(name)``
+#: selects, SQL fragments in ``bucket_for_key`` — so names must be
+#: plain identifiers. A dot means struct access to ``F.col``, a space
+#: or comma breaks the DDL parse (probed: each commits fine, then the
+#: first write or cross-version projection raises).
+_IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
+
+
+def check_column_name(name: str) -> None:
+    """Refuse a column name the engine's unquoted by-name references
+    could not survive (see ``_IDENT_RE``)."""
+    if not isinstance(name, str) or not _IDENT_RE.match(name):
+        raise ValueError(
+            f"invalid column name {name!r}: the engine references columns "
+            "by bare name (unquoted DDL strings, F.col, SQL fragments), so "
+            "names must match [A-Za-z_][A-Za-z0-9_]* — a dot would resolve "
+            "as struct access and punctuation breaks the schema parse"
+        )
 
 
 def validate_column_type(
@@ -854,6 +876,7 @@ class ManifestTable:
                 "hash key columns by name"
             )
         for c in schema.columns:
+            check_column_name(c.name)
             try:
                 validate_column_type(spark, c.type, c.default)
             except ValueError as e:
@@ -2084,9 +2107,10 @@ class ManifestTable:
         self, name: str, type_: str, default: object | None = None,
         properties_update: dict | None = None,
     ) -> Snapshot:
-        # refuse an unreadable type/default BEFORE the snapshot commits
-        # (an invalid one wedges every later read/merge — see
-        # validate_column_type)
+        # refuse an unusable name/type/default BEFORE the snapshot
+        # commits (an invalid one wedges every later read/merge — see
+        # check_column_name / validate_column_type)
+        check_column_name(name)
         validate_column_type(self.spark, type_, default)
 
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
@@ -2103,6 +2127,10 @@ class ManifestTable:
         return self._evolve(mutate, properties_update)
 
     def rename_column(self, old: str, new: str, properties_update: dict | None = None) -> Snapshot:
+        # same pre-commit name guard as add_column — a rename to 'a.b'
+        # would wedge by-name reads just like an add would
+        check_column_name(new)
+
         def mutate(cols: list[ColumnDef]) -> list[ColumnDef]:
             if not any(c.name == old for c in cols):
                 raise ValueError(f"no column {old!r}")

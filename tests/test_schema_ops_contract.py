@@ -300,3 +300,17 @@ def test_case_variant_collisions_and_reserved_names_refused(spark, tmp_path, cha
     eng2 = ReplayEngine(spark, str(tmp_path / "t_case_pure"), num_buckets=4)
     eng2.replay(changelog, schema_ops=purecase)
     assert "LANG" in eng2.read_state().columns
+
+
+def test_non_identifier_names_in_feed_refused_up_front(spark, tmp_path, changelog):
+    bad_add = _ops(spark, [(250, "add_column", "a.b", json.dumps({"type": "string"}))])
+    eng, run = _replay(spark, tmp_path, changelog, bad_add, "t_dotname")
+    with pytest.raises(ValueError, match="doomed.*invalid column name"):
+        run()
+    assert eng.applied_batches() == []
+    bad_ren = _ops(spark, [(250, "rename_column", "lang",
+                            json.dumps({"new_name": "a b"}))])
+    eng2, run2 = _replay(spark, tmp_path, changelog, bad_ren, "t_spacename")
+    with pytest.raises(ValueError, match="doomed.*invalid column name"):
+        run2()
+    assert eng2.applied_batches() == []

@@ -84,3 +84,22 @@ def test_table_api_case_collisions_refused_pure_case_rename_legal(spark, tmp_pat
     # a pure case change collides only with ITSELF — stays legal
     t.rename_column("v", "V")
     assert [c.name for c in t.current_snapshot().schema.columns][:3] == ["k", "V", "w"]
+
+
+def test_non_identifier_column_names_refused(spark, tmp_path):
+    """The engine references columns by bare name (unquoted DDL strings,
+    F.col, SQL fragments): 'a.b' resolves as struct access, 'a b' breaks
+    the schema parse. Each such name committed fine and then wedged the
+    first write or projection (probed) — refused at every entry point."""
+    for i, bad in enumerate(["a.b", "a b", "a`b", "a,b", ""]):
+        with pytest.raises(ValueError, match="invalid column name"):
+            _create(spark, tmp_path, f"tn{i}",
+                    [ColumnDef(1, "k", "string"), ColumnDef(2, bad, "string")],
+                    ["k"])
+    t = _create(spark, tmp_path, "tn_ok",
+                [ColumnDef(1, "k", "string"), ColumnDef(2, "v", "string")], ["k"])
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.add_column("a.b", "string")
+    with pytest.raises(ValueError, match="invalid column name"):
+        t.rename_column("v", "a b")
+    assert t.current_snapshot().current_schema_version == 1
