@@ -364,6 +364,83 @@ class ReplayEngine:
     def fence_offset(self) -> int:
         return int(self.table.current_snapshot().properties.get("fence_offset", -1))
 
+    # ---------- write-audit-publish (WAP) ----------
+
+    def staged(self) -> bool:
+        """True while a WAP staging window is open (commits land in the
+        history but published readers resolve the pinned base)."""
+        from etl_spark.table.manifest import WAP_STAGED_PROP
+
+        return (
+            self.table.current_snapshot().properties.get(WAP_STAGED_PROP) == "true"
+        )
+
+    def stage_begin(self) -> int:
+        """Open a write-audit-publish window (Iceberg's WAP pattern —
+        the production gate for CDC ingest: land a batch, audit the
+        NEW state, only then let readers see it).
+
+        One metadata-only commit pins the current version as the
+        published base; because snapshot properties carry forward
+        through every commit kind, ALL subsequent commits (data,
+        compaction, DDL, retention) inherit the staged flag with zero
+        changes to their write paths. While staged:
+
+        - ``read_state()`` (and audits) see the STAGED state — that is
+          what the audit must inspect;
+        - ``read_state(published=True)`` / ``published_snapshot()``
+          serve the pinned base — what downstream readers should use;
+        - ``publish_staged()`` makes the staged commits visible
+          atomically (one flag-clearing commit);
+        - ``discard_staged()`` rolls back to the base; the restored
+          fence properties make the engine re-accept the discarded
+          offsets, so the fixed feed simply replays.
+
+        Returns the pinned base version. Nested staging is refused —
+        one audit window at a time; resumable callers check
+        ``staged()`` first (a crashed stager's window is still open and
+        still discardable)."""
+        from etl_spark.table.manifest import WAP_BASE_PROP, WAP_STAGED_PROP
+
+        snap = self.table.current_snapshot()
+        if snap.properties.get(WAP_STAGED_PROP) == "true":
+            raise ValueError(
+                "a WAP staging window is already open (base version "
+                f"{snap.properties[WAP_BASE_PROP]}); publish_staged() or "
+                "discard_staged() first"
+            )
+        self.table.update_properties(
+            {WAP_STAGED_PROP: "true", WAP_BASE_PROP: str(snap.version)}
+        )
+        return snap.version
+
+    def publish_staged(self) -> int:
+        """Atomically publish every commit staged since ``stage_begin``:
+        one metadata-only commit clears the staged flag, and published
+        readers move from the pinned base to the full history in one
+        step. Returns the newly published version."""
+        from etl_spark.table.manifest import WAP_BASE_PROP, WAP_STAGED_PROP
+
+        if not self.staged():
+            raise ValueError("no WAP staging window is open")
+        return self.table.update_properties(
+            remove=(WAP_STAGED_PROP, WAP_BASE_PROP)
+        ).version
+
+    def discard_staged(self) -> int:
+        """Reject the staged window: roll back to the pinned base
+        (metadata-only — data files are immutable and orphans are
+        vacuumed by retention). The restored snapshot carries the
+        base's fence/applied properties, so the engine re-accepts the
+        discarded batches' offsets — fix the feed and replay. Returns
+        the restored (published) version."""
+        from etl_spark.table.manifest import WAP_BASE_PROP
+
+        snap = self.table.current_snapshot()
+        if not self.staged():
+            raise ValueError("no WAP staging window is open")
+        return self.table.rollback(int(snap.properties[WAP_BASE_PROP])).version
+
     def _maybe_expire(self) -> None:
         """Auto-retention tick: when ``expire_every`` is set and that many
         data commits have landed since the last expiry, expire snapshots
@@ -436,6 +513,7 @@ class ReplayEngine:
         where: list[tuple] | None = None,
         columns: list[str] | None = None,
         at_version: int | None = None,
+        published: bool = False,
     ) -> DataFrame:
         """Current table state. In mor mode, resolves base+delta files
         with the same LWW rule the merge uses and drops tombstones; in
@@ -463,7 +541,12 @@ class ReplayEngine:
         version (mor resolves the files that snapshot listed; data
         files are immutable, so any retained snapshot replays its exact
         historical state — expire with ``keep_last`` sized to how far
-        back you need to look)."""
+        back you need to look).
+
+        ``published`` resolves the WAP-published snapshot instead of
+        the current one: identical to the default outside a staging
+        window, the pinned audit base inside one (what downstream
+        readers should consume while an audit holds the gate)."""
         from etl_spark.cdc.merge import resolve_state
 
         preds = list(where or [])
@@ -472,7 +555,9 @@ class ReplayEngine:
             raise ValueError(
                 f"unsupported where ops {bad_ops}; supported: = < <= > >= in"
             )
-        snap = None
+        if published and at_version is not None:
+            raise ValueError("published=True and at_version are mutually exclusive")
+        snap = self.table.published_snapshot() if published else None
         if at_version is not None:
             try:
                 snap = self.table.snapshot_at(at_version)
@@ -585,6 +670,12 @@ class ReplayEngine:
                 int(snap.properties.get("applied_batches_watermark", -1))
                 + 1
                 + len(snap.properties.get("applied_batches", []))
+            ),
+            "wap_staged": snap.properties.get("wap.staged") == "true",
+            "published_version": (
+                int(snap.properties["wap.base_version"])
+                if snap.properties.get("wap.staged") == "true"
+                else snap.version
             ),
         }
 

@@ -19,6 +19,9 @@ Subcommands:
     expire     expire old snapshots + vacuum orphaned data directories
     state      print row count + a sample of the resolved table state
     metrics    print per-batch ingest metrics
+    publish    publish a staged write-audit-publish window
+    discard    discard a staged write-audit-publish window (rollback)
+    inspect    per-snapshot / per-file metadata tables as JSON lines
 """
 
 from __future__ import annotations
@@ -107,6 +110,14 @@ def _build_parser() -> argparse.ArgumentParser:
         "widen_type|drop_column. Each op applies before the batch whose "
         "offset range covers it, and is offset-fenced exactly like data",
     )
+    r.add_argument(
+        "--wap-stage", action="store_true",
+        help="write-audit-publish: stage this replay's commits invisibly "
+        "to published readers ('state --published' keeps serving the "
+        "pre-replay state); audit the staged state, then 'publish' or "
+        "'discard'. Re-running a crashed staged replay resumes the open "
+        "window",
+    )
     common(r)
 
     s = sub.add_parser("stream", help="structured-streaming tail of the changelog dir")
@@ -147,7 +158,35 @@ def _build_parser() -> argparse.ArgumentParser:
     common(e)
 
     st = sub.add_parser("state", help="resolved table state summary")
+    st.add_argument(
+        "--published", action="store_true",
+        help="resolve the WAP-published snapshot (the audit base while a "
+        "staging window is open; identical to the default otherwise)",
+    )
     common(st)
+
+    ins = sub.add_parser(
+        "inspect",
+        help="metadata inspect tables as JSON lines: per-snapshot history "
+        "(default) or per-file entries (--files) — Iceberg's "
+        "snapshots/files inspect-table analog, zero data-file reads",
+    )
+    ins.add_argument(
+        "--files", action="store_true",
+        help="per-file entries of the current snapshot (bucket, kind, "
+        "bytes, rows, min/max stats) instead of per-snapshot history",
+    )
+    common(ins)
+
+    pub = sub.add_parser(
+        "publish", help="publish the staged WAP window (one atomic flag-clearing commit)"
+    )
+    common(pub)
+
+    dis = sub.add_parser(
+        "discard", help="discard the staged WAP window (metadata-only rollback to the audit base)"
+    )
+    common(dis)
 
     lk = sub.add_parser(
         "lookup", help="point lookup of one key's current row (plans a single bucket)"
@@ -253,7 +292,10 @@ def main(argv: list[str] | None = None) -> int:
         expire_every=args.expire_every,
         expire_keep_last=args.expire_keep_last,
     )
-    attach_cmds = ("metrics", "state", "lookup", "expire", "compact", "rebucket")
+    attach_cmds = (
+        "metrics", "state", "lookup", "expire", "compact", "rebucket",
+        "publish", "discard", "inspect",
+    )
     # chain's downstream may not exist yet (the bootstrap sync creates
     # it) — attach only when it does, so an existing table still opens
     # under its recorded mode
@@ -275,6 +317,10 @@ def main(argv: list[str] | None = None) -> int:
         )
     if args.cmd == "replay":
         log = spark.read.parquet(args.changelog)
+        if getattr(args, "wap_stage", False) and not engine.staged():
+            # idempotent entry: a crashed staged replay re-runs with the
+            # window still open and resumes into it
+            engine.stage_begin()
         classify = (
             {"status_col": args.classify_status_col}
             if getattr(args, "classify_status_col", None)
@@ -327,12 +373,23 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "expire":
         print(json.dumps(engine.table.expire_snapshots(keep_last=args.keep_last)))
     elif args.cmd == "state":
-        state = engine.read_state()
+        state = engine.read_state(published=getattr(args, "published", False))
         print(json.dumps({
             "rows": state.count(),
             "columns": state.columns,
             "table": engine.describe(),  # metadata-only summary
         }))
+    elif args.cmd == "inspect":
+        df = (
+            engine.table.files_df() if args.files else engine.table.snapshots_df()
+        )
+        # metadata-bounded collect: O(retained snapshots) or O(files)
+        for row in df.collect():
+            print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "publish":
+        print(json.dumps({"published_version": engine.publish_staged()}))
+    elif args.cmd == "discard":
+        print(json.dumps({"published_version": engine.discard_staged()}))
     elif args.cmd == "lookup":
         kv = dict(args.key)
         rows = engine.lookup(**kv).collect()

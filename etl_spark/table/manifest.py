@@ -117,6 +117,16 @@ COMMIT_RETRIES = 5
 # filter on _deleted, so a schema without them breaks the next commit.
 _ENGINE_MANAGED_COLS = ("content_sha256", "_ingest_offset", "_ingest_batch", "_deleted")
 
+# Write-audit-publish staging markers (Iceberg's WAP pattern: stage
+# commits invisibly, audit the staged state, then publish or discard).
+# Properties carry forward through every commit kind ({**parent, **update}
+# at each commit site), so ONE metadata-only commit setting these flags
+# marks every subsequent commit staged until publish removes them —
+# data commits, compaction, DDL and retention ticks all inherit the
+# flag with zero changes to their write paths.
+WAP_STAGED_PROP = "wap.staged"
+WAP_BASE_PROP = "wap.base_version"
+
 
 class CommitConflictError(RuntimeError):
     """Another writer claimed this snapshot version first (the
@@ -1665,6 +1675,95 @@ class ManifestTable:
             out[b] = (base, delta)
         return out
 
+# ---------- inspect tables ----------
+
+    def snapshots_df(self) -> DataFrame:
+        """Iceberg inspect-table parity (``table.snapshots``): one row
+        per RETAINED snapshot — version, schema version, bucket layout,
+        file/byte/row totals, WAP staging flags. Driver-side O(retained
+        snapshots) document reads using the document-level bucket
+        summaries only (no shard hydration), then a createDataFrame of
+        a metadata-bounded row list — retention keeps this small by
+        construction. History/lineage queries ("when did the table
+        double", "which commit added the debt") become one DataFrame."""
+        from pyspark.sql.types import (
+            BooleanType, IntegerType, LongType, StructField, StructType,
+        )
+
+        rows = []
+        for v in self._snapshot_versions():
+            try:
+                snap = self.snapshot_at(v)
+            except FileNotFoundError:  # raced a concurrent expiry tick
+                continue
+            files = delta = by = r = 0
+            for b in list(snap.files):
+                files += self._bucket_stat(snap, b, "n", len)
+                delta += self._bucket_stat(
+                    snap, b, "d",
+                    lambda es: sum(1 for e in es if self._entry_is_delta(e)),
+                )
+                by += self._bucket_stat(
+                    snap, b, "by", lambda es: sum(self._entry_bytes(e) for e in es)
+                )
+                r += self._bucket_stat(
+                    snap, b, "r", lambda es: sum(e.get("rows", 0) or 0 for e in es)
+                )
+            rows.append((
+                v, snap.current_schema_version, snap.num_buckets,
+                len(snap.files), files, delta, by, r,
+                snap.properties.get(WAP_STAGED_PROP) == "true",
+                int(snap.properties.get("fence_offset", -1)),
+            ))
+        schema = StructType([
+            StructField("version", IntegerType(), False),
+            StructField("schema_version", IntegerType(), False),
+            StructField("num_buckets", IntegerType(), False),
+            StructField("buckets_with_data", IntegerType(), False),
+            StructField("files", IntegerType(), False),
+            StructField("delta_files", IntegerType(), False),
+            StructField("bytes", LongType(), False),
+            StructField("rows_in_files", LongType(), False),
+            StructField("wap_staged", BooleanType(), False),
+            StructField("fence_offset", LongType(), False),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
+    def files_df(self, snapshot: Snapshot | None = None) -> DataFrame:
+        """Iceberg inspect-table parity (``table.files``): one row per
+        live file entry of one snapshot — bucket, path, kind, schema
+        version, bytes, rows, recorded min/max stats (JSON, keyed by
+        column id so entries written pre-rename stay interpretable).
+        Hydrates every bucket's shard: O(buckets) manifest reads,
+        documented inspection cost (the WRITE path never needs this —
+        per-commit work stays O(touched)). The maintenance planner's
+        view: file-size histograms, compaction debt per bucket, stats
+        coverage — all without touching a data file."""
+        from pyspark.sql.types import (
+            IntegerType, LongType, StringType, StructField, StructType,
+        )
+
+        snap = snapshot or self.current_snapshot()
+        rows = []
+        for b in sorted(snap.files):
+            for e in snap.files[b]:
+                rows.append((
+                    b, e["path"],
+                    "delta" if self._entry_is_delta(e) else "base",
+                    int(e.get("sv", 0)), e.get("bytes"), e.get("rows"),
+                    json.dumps(e["stats"], sort_keys=True) if e.get("stats") else None,
+                ))
+        schema = StructType([
+            StructField("bucket", IntegerType(), False),
+            StructField("path", StringType(), False),
+            StructField("kind", StringType(), False),
+            StructField("schema_version", IntegerType(), False),
+            StructField("bytes", LongType(), True),
+            StructField("rows", LongType(), True),
+            StructField("stats_json", StringType(), True),
+        ])
+        return self.spark.createDataFrame(rows, schema)
+
     def merge(
         self,
         upserts: DataFrame,
@@ -1871,6 +1970,48 @@ class ManifestTable:
         self._commit(new)
         return new
 
+    # ---------- properties / write-audit-publish ----------
+
+    def update_properties(
+        self, set_props: dict | None = None, remove: tuple | list = ()
+    ) -> Snapshot:
+        """Metadata-only commit that sets and/or REMOVES snapshot
+        properties (the per-commit ``properties_update`` path can only
+        merge keys in — removal needs its own commit shape). Files and
+        schema alias the parent's, so the commit writes one small
+        document; a conflict rebases against the refreshed snapshot and
+        retries, like DDL."""
+        last: CommitConflictError | None = None
+        for _ in range(COMMIT_RETRIES):
+            snap = self.current_snapshot()
+            props = {k: v for k, v in snap.properties.items() if k not in set(remove)}
+            props.update(set_props or {})
+            new = Snapshot(
+                version=snap.version + 1,
+                current_schema_version=snap.current_schema_version,
+                schemas=snap.schemas,
+                num_buckets=snap.num_buckets,
+                files=snap.files,
+                properties=props,
+            )
+            try:
+                self._commit(new)
+                return new
+            except CommitConflictError as e:
+                last = e
+        raise last
+
+    def published_snapshot(self) -> Snapshot:
+        """The snapshot published readers should resolve: the current
+        one normally, the recorded WAP base while commits are staged.
+        The base version is pinned ONCE when staging begins and
+        inherited by every staged commit, so this is a property read
+        plus at most one time-travel load — never a history walk."""
+        snap = self.current_snapshot()
+        if snap.properties.get(WAP_STAGED_PROP) != "true":
+            return snap
+        return self.snapshot_at(int(snap.properties[WAP_BASE_PROP]))
+
     # ---------- maintenance ----------
 
     def expire_snapshots(self, keep_last: int = 5) -> dict:
@@ -1892,8 +2033,18 @@ class ManifestTable:
             if n.startswith("snapshot-") and n.endswith(".json")
         )
         versions = [int(n[len("snapshot-"):-len(".json")]) for n in names]
-        cur = self.current_snapshot().version
+        cur_snap = self.current_snapshot()
+        cur = cur_snap.version
         keep = set(sorted(versions)[-keep_last:]) | {cur}
+        if cur_snap.properties.get(WAP_STAGED_PROP) == "true":
+            # a staged window must stay discardable: published readers
+            # resolve the WAP base and discard_staged rolls back to it,
+            # so every version from the base forward survives expiry
+            # until publish/discard ends the window (staging windows are
+            # audit-length by design — the retention cost is bounded by
+            # how long an audit is allowed to hold the gate open)
+            base = int(cur_snap.properties[WAP_BASE_PROP])
+            keep |= {v for v in versions if v >= base}
         expired = [v for v in versions if v not in keep]
         # expired versions must fail time travel loudly — drop any
         # cached parse so snapshot_at can't serve a deleted snapshot

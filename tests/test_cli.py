@@ -157,3 +157,66 @@ def test_cli_compact_flags(spark, capsys, cli_dirs):
     assert rc == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert isinstance(out["compacted_buckets"], list)
+
+
+def test_cli_wap_stage_publish(spark, capsys, cli_dirs):
+    """--wap-stage keeps 'state --published' at the pre-replay state
+    until the 'publish' verb lands; 'discard' on a second table rolls
+    the staged replay back entirely."""
+    root, wal = cli_dirs
+
+    table = str(root / "t_wap")
+    rc = main(["replay", "--changelog", wal, "--table", table, "--wap-stage"])
+    assert rc == 0
+    applied = json.loads(capsys.readouterr().out.strip().splitlines()[-1])["applied"]
+    assert applied == [0, 1, 2]
+
+    rc = main(["state", "--table", table, "--published"])
+    assert rc == 0
+    pub = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pub["rows"] == 0  # staged behind the empty create-time base
+    assert pub["table"]["wap_staged"] is True
+
+    rc = main(["state", "--table", table])
+    staged = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert staged["rows"] > 0  # the audit's view
+
+    rc = main(["publish", "--table", table])
+    assert rc == 0
+    assert "published_version" in json.loads(
+        capsys.readouterr().out.strip().splitlines()[-1]
+    )
+    rc = main(["state", "--table", table, "--published"])
+    pub = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pub["rows"] == staged["rows"]
+    assert pub["table"]["wap_staged"] is False
+
+    table2 = str(root / "t_wap_discard")
+    rc = main(["replay", "--changelog", wal, "--table", table2, "--wap-stage"])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["discard", "--table", table2])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["state", "--table", table2])
+    state = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert state["rows"] == 0 and state["table"]["wap_staged"] is False
+
+
+def test_cli_inspect(spark, capsys, cli_dirs):
+    root, wal = cli_dirs
+    table = str(root / "t_inspect")
+    rc = main(["replay", "--changelog", wal, "--table", table])
+    assert rc == 0
+    capsys.readouterr()
+    rc = main(["inspect", "--table", table])
+    assert rc == 0
+    snaps = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(snaps) >= 1
+    assert {"version", "files", "bytes", "rows_in_files"} <= set(snaps[-1])
+
+    rc = main(["inspect", "--table", table, "--files"])
+    assert rc == 0
+    files = [json.loads(ln) for ln in capsys.readouterr().out.strip().splitlines()]
+    assert len(files) == snaps[-1]["files"]
+    assert {"bucket", "path", "kind", "bytes", "rows"} <= set(files[0])

@@ -1,0 +1,156 @@
+"""Write-audit-publish (WAP) staging tests.
+
+The production gate for CDC ingest (Iceberg's WAP pattern): land a
+batch's commits in the table history but keep them invisible to
+published readers until an audit passes. One metadata-only commit opens
+the window (properties carry forward, so every subsequent commit kind
+inherits the staged flag), one publishes it atomically, and a discard
+is a metadata-only rollback to the pinned base whose restored fence
+properties let the fixed feed simply replay.
+
+No reference analog (the reference pandas ETL writes directly); this is
+lake-engine infrastructure the north rule's exactly-once story needs
+once an audit step sits between ingest and consumption.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from etl_spark.cdc.changelog import generate_changelog
+from etl_spark.cdc.replay import ReplayEngine
+from tests.oracle import apply_log_oracle
+
+N_EVENTS = 2000
+COLS = ["repo", "path", "commit", "lang", "content", "content_sha256"]
+
+
+@pytest.fixture(scope="module")
+def changelog(spark):
+    df = generate_changelog(
+        spark, N_EVENTS, seed=42, n_repos=5, paths_per_repo=20, num_batches=4
+    )
+    df.cache()
+    df.count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def oracle_state(changelog):
+    return apply_log_oracle(changelog.toPandas())
+
+
+def _state(engine: ReplayEngine, **kw) -> pd.DataFrame:
+    return (
+        engine.read_state(**kw)
+        .select(*COLS)
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+@pytest.mark.parametrize("mode", ["mor", "cow"])
+def test_staged_invisible_until_publish(spark, tmp_path, changelog, oracle_state, mode):
+    eng = ReplayEngine(spark, str(tmp_path / f"t_{mode}"), num_buckets=8, mode=mode)
+    eng.replay(changelog, batches=[0])
+    base_state = _state(eng)
+
+    base_version = eng.stage_begin()
+    assert eng.staged()
+    eng.replay(changelog, batches=[1, 2, 3])
+
+    # the audit sees the staged state; published readers see the base
+    pd.testing.assert_frame_equal(_state(eng), oracle_state)
+    pd.testing.assert_frame_equal(_state(eng, published=True), base_state)
+    d = eng.describe()
+    assert d["wap_staged"] is True
+    assert d["published_version"] == base_version
+
+    published = eng.publish_staged()
+    assert not eng.staged()
+    assert published == eng.table.current_snapshot().version
+    pd.testing.assert_frame_equal(_state(eng, published=True), oracle_state)
+    d = eng.describe()
+    assert d["wap_staged"] is False
+    assert d["published_version"] == d["version"]
+
+
+def test_discard_restores_base_and_feed_replays(spark, tmp_path, changelog, oracle_state):
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=8, mode="mor")
+    eng.replay(changelog, batches=[0])
+    base_state = _state(eng)
+    base_fence = eng.fence_offset()
+    base_applied = eng.applied_batches()
+
+    eng.stage_begin()
+    eng.replay(changelog, batches=[1, 2])
+    assert eng.fence_offset() > base_fence
+    eng.discard_staged()
+
+    # metadata-only rollback: state, fence and the exactly-once ledger
+    # are all back at the base, so the discarded offsets are re-accepted
+    assert not eng.staged()
+    pd.testing.assert_frame_equal(_state(eng), base_state)
+    assert eng.fence_offset() == base_fence
+    assert eng.applied_batches() == base_applied
+
+    # "fix the feed and replay": the same batches apply again and the
+    # final state (incl. per-row sha256) matches the full-log oracle
+    results = eng.replay(changelog, batches=[1, 2, 3])
+    assert not any(r.get("skipped") for r in results)
+    pd.testing.assert_frame_equal(_state(eng), oracle_state)
+
+
+def test_window_lifecycle_refusals(spark, tmp_path, changelog):
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    eng.replay(changelog, batches=[0])
+    with pytest.raises(ValueError, match="no WAP staging window"):
+        eng.publish_staged()
+    with pytest.raises(ValueError, match="no WAP staging window"):
+        eng.discard_staged()
+    eng.stage_begin()
+    with pytest.raises(ValueError, match="already open"):
+        eng.stage_begin()
+    eng.publish_staged()
+    with pytest.raises(ValueError, match="no WAP staging window"):
+        eng.publish_staged()
+
+
+def test_expire_keeps_staged_window_discardable(spark, tmp_path, changelog):
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=8, mode="mor")
+    eng.replay(changelog, batches=[0])
+    base_state = _state(eng)
+
+    eng.stage_begin()
+    eng.replay(changelog, batches=[1, 2, 3])
+    # aggressive retention during the window must NOT expire the pinned
+    # base (published reads and discard both resolve through it)
+    eng.table.expire_snapshots(keep_last=1)
+    pd.testing.assert_frame_equal(_state(eng, published=True), base_state)
+    eng.discard_staged()
+    pd.testing.assert_frame_equal(_state(eng), base_state)
+
+
+def test_ddl_inside_staged_window_rolls_back(spark, tmp_path, changelog):
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    eng.replay(changelog, batches=[0])
+    base_cols = eng.read_state().columns
+
+    eng.stage_begin()
+    eng.table.add_column("audit_extra", "int", 7)
+    assert "audit_extra" in eng.read_state().columns
+    # DDL commits inherit the staged flag like any other commit
+    assert eng.staged()
+    assert "audit_extra" not in eng.read_state(published=True).columns
+    eng.discard_staged()
+    assert eng.read_state().columns == base_cols
+
+
+def test_published_read_outside_window_is_current(spark, tmp_path, changelog, oracle_state):
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4)
+    eng.replay(changelog)
+    pd.testing.assert_frame_equal(_state(eng, published=True), _state(eng))
+    with pytest.raises(ValueError, match="mutually exclusive"):
+        eng.read_state(published=True, at_version=1)
