@@ -85,8 +85,16 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
     behind; the NEXT cycle re-pulls the overlapping window, which the
     offset fence replays as an empty batch that carries the watermark
     forward. Returns ``{"src_version", "events", "batch_id",
-    "skipped"}``."""
-    src_snap = src.table.current_snapshot()
+    "skipped"}``.
+
+    WAP-aware: the sync reads the upstream's PUBLISHED snapshot, never
+    its staged tail — a downstream replica consuming commits that an
+    audit later discards would hold rows the upstream never published
+    (and the discard's rollback could not reach the replica). While an
+    upstream staging window is open the cycle syncs up to the pinned
+    base and reports that version; the staged window arrives in the
+    first cycle after ``publish_staged``."""
+    src_snap = src.table.published_snapshot()
     src_version = src_snap.version
     dst_snap = dst.table.current_snapshot()
     last = int(dst_snap.properties.get(WATERMARK_PROP, 0))
@@ -129,7 +137,7 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
                 "recreate the downstream (full resync) or expire less "
                 "aggressively upstream (keep_last > sync interval)"
             )
-        feed = src.read_state().withColumn("_deleted", F.lit(False))
+        feed = src.read_state(published=True).withColumn("_deleted", F.lit(False))
     else:
         feed = src.changes_between(last, src_version)
     events = changes_to_events(feed, batch_id)

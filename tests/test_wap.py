@@ -154,3 +154,47 @@ def test_published_read_outside_window_is_current(spark, tmp_path, changelog, or
     pd.testing.assert_frame_equal(_state(eng, published=True), _state(eng))
     with pytest.raises(ValueError, match="mutually exclusive"):
         eng.read_state(published=True, at_version=1)
+
+
+def test_chain_syncs_published_only(spark, tmp_path, changelog, oracle_state):
+    """A downstream replica must never consume staged upstream commits:
+    while the window is open the sync pins to the published base, and
+    the staged tail arrives only after publish."""
+    from etl_spark.cdc.chain import propagate_changes
+
+    src = ReplayEngine(spark, str(tmp_path / "src"), num_buckets=4, mode="mor")
+    dst = ReplayEngine(spark, str(tmp_path / "dst"), num_buckets=4, mode="mor")
+    src.replay(changelog, batches=[0])
+    assert not propagate_changes(src, dst)["skipped"]
+    base_state = _state(src)
+    pd.testing.assert_frame_equal(_state(dst), base_state)
+
+    src.stage_begin()
+    src.replay(changelog, batches=[1, 2, 3])
+    r = propagate_changes(src, dst)
+    assert r["skipped"], "staged window must not advance the replica"
+    pd.testing.assert_frame_equal(_state(dst), base_state)
+
+    src.publish_staged()
+    r = propagate_changes(src, dst)
+    assert not r["skipped"] and r["events"] > 0
+    pd.testing.assert_frame_equal(_state(dst), oracle_state)
+
+
+def test_chain_after_discard_sees_nothing(spark, tmp_path, changelog):
+    from etl_spark.cdc.chain import propagate_changes
+
+    src = ReplayEngine(spark, str(tmp_path / "src"), num_buckets=4, mode="mor")
+    dst = ReplayEngine(spark, str(tmp_path / "dst"), num_buckets=4, mode="mor")
+    src.replay(changelog, batches=[0])
+    propagate_changes(src, dst)
+    base_state = _state(dst)
+
+    src.stage_begin()
+    src.replay(changelog, batches=[1])
+    src.discard_staged()
+    # the rollback snapshot aliases the base's files: the next cycle
+    # advances the watermark over an empty diff, the replica unchanged
+    r = propagate_changes(src, dst)
+    assert r["events"] == 0
+    pd.testing.assert_frame_equal(_state(dst), base_state)
