@@ -441,6 +441,84 @@ class ReplayEngine:
             raise ValueError("no WAP staging window is open")
         return self.table.rollback(int(snap.properties[WAP_BASE_PROP])).version
 
+    def audit_staged(
+        self,
+        max_row_growth: float | None = None,
+        max_row_shrink: float | None = None,
+        allow_schema_change: bool = True,
+        count_rows: bool = True,
+    ) -> dict:
+        """Built-in audit of an open WAP window: staged state vs the
+        published base. Returns a verdict dict — the caller publishes
+        on ``ok`` and discards otherwise (the CLI ``audit`` verb turns
+        ``ok`` into the exit code so ``replay --wap-stage && audit &&
+        publish || discard`` is a complete gated pipeline).
+
+        Checks (each opt-in, unset = recorded but never failing):
+        - ``max_row_growth`` / ``max_row_shrink``: bound the live
+          row-count delta as a fraction of the base (a replay that
+          doubles or empties the table is usually a bad feed, not a
+          bad day). Needs one state read per side — a real table scan,
+          the price of a row-level audit; ``count_rows=False`` skips
+          both reads for a metadata-only audit.
+        - ``allow_schema_change=False``: refuse a window whose DDL
+          changed the schema version (pure metadata).
+
+        The verdict always records base/staged versions, schema
+        change, and the manifest's file/byte deltas (metadata-only,
+        from the document summaries) so an operator sees WHAT the
+        window did even when every check passes."""
+        from etl_spark.table.manifest import WAP_BASE_PROP
+
+        snap = self.table.current_snapshot()
+        if not self.staged():
+            raise ValueError("no WAP staging window is open")
+        base = self.table.snapshot_at(int(snap.properties[WAP_BASE_PROP]))
+
+        def _meta(s):
+            per = self.table.bucket_summary(s)
+            return sum(p["files"] for p in per), sum(p["bytes"] for p in per)
+
+        base_files, base_bytes = _meta(base)
+        staged_files, staged_bytes = _meta(snap)
+        schema_changed = (
+            snap.current_schema_version != base.current_schema_version
+        )
+        out: dict = {
+            "base_version": base.version,
+            "staged_version": snap.version,
+            "schema_changed": schema_changed,
+            "files_delta": staged_files - base_files,
+            "bytes_delta": staged_bytes - base_bytes,
+        }
+        failures: list[str] = []
+        if count_rows:
+            base_rows = self.read_state(published=True).count()
+            staged_rows = self.read_state().count()
+            growth = (staged_rows - base_rows) / max(base_rows, 1)
+            out.update(
+                base_rows=base_rows, staged_rows=staged_rows,
+                row_growth=round(growth, 6),
+            )
+            if max_row_growth is not None and growth > max_row_growth:
+                failures.append(
+                    f"row growth {growth:.4f} exceeds max_row_growth "
+                    f"{max_row_growth} ({base_rows} -> {staged_rows})"
+                )
+            if max_row_shrink is not None and -growth > max_row_shrink:
+                failures.append(
+                    f"row shrink {-growth:.4f} exceeds max_row_shrink "
+                    f"{max_row_shrink} ({base_rows} -> {staged_rows})"
+                )
+        if not allow_schema_change and schema_changed:
+            failures.append(
+                f"schema version changed {base.current_schema_version} -> "
+                f"{snap.current_schema_version} with allow_schema_change=False"
+            )
+        out["failures"] = failures
+        out["ok"] = not failures
+        return out
+
     def _maybe_expire(self) -> None:
         """Auto-retention tick: when ``expire_every`` is set and that many
         data commits have landed since the last expiry, expire snapshots

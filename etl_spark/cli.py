@@ -21,6 +21,7 @@ Subcommands:
     metrics    print per-batch ingest metrics
     publish    publish a staged write-audit-publish window
     discard    discard a staged write-audit-publish window (rollback)
+    audit      check a staged window against row-delta/schema bounds (rc = verdict)
     inspect    per-snapshot / per-file metadata tables as JSON lines
 """
 
@@ -178,6 +179,32 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     common(ins)
 
+    au = sub.add_parser(
+        "audit",
+        help="audit an open WAP window (staged state vs published base); "
+        "exit code 0 iff every enabled check passes, so "
+        "'replay --wap-stage && audit ... && publish || discard' is a "
+        "complete gated pipeline",
+    )
+    au.add_argument(
+        "--max-row-growth", type=float,
+        help="fail if live rows grew by more than this fraction of the base",
+    )
+    au.add_argument(
+        "--max-row-shrink", type=float,
+        help="fail if live rows shrank by more than this fraction of the base",
+    )
+    au.add_argument(
+        "--no-schema-change", action="store_true",
+        help="fail if the window changed the schema version",
+    )
+    au.add_argument(
+        "--no-count", action="store_true",
+        help="metadata-only audit: skip the two state reads (row-count "
+        "checks are then unavailable)",
+    )
+    common(au)
+
     pub = sub.add_parser(
         "publish", help="publish the staged WAP window (one atomic flag-clearing commit)"
     )
@@ -294,7 +321,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     attach_cmds = (
         "metrics", "state", "lookup", "expire", "compact", "rebucket",
-        "publish", "discard", "inspect",
+        "publish", "discard", "inspect", "audit",
     )
     # chain's downstream may not exist yet (the bootstrap sync creates
     # it) — attach only when it does, so an existing table still opens
@@ -386,6 +413,15 @@ def main(argv: list[str] | None = None) -> int:
         # metadata-bounded collect: O(retained snapshots) or O(files)
         for row in df.collect():
             print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "audit":
+        verdict = engine.audit_staged(
+            max_row_growth=args.max_row_growth,
+            max_row_shrink=args.max_row_shrink,
+            allow_schema_change=not args.no_schema_change,
+            count_rows=not args.no_count,
+        )
+        print(json.dumps(verdict))
+        return 0 if verdict["ok"] else 1
     elif args.cmd == "publish":
         print(json.dumps({"published_version": engine.publish_staged()}))
     elif args.cmd == "discard":

@@ -198,3 +198,67 @@ def test_chain_after_discard_sees_nothing(spark, tmp_path, changelog):
     r = propagate_changes(src, dst)
     assert r["events"] == 0
     pd.testing.assert_frame_equal(_state(dst), base_state)
+
+
+def test_audit_staged_verdicts(spark, tmp_path, changelog):
+    """The built-in audit: passes an ordinary window, fails a growth
+    bound, and records metadata deltas either way."""
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4, mode="mor")
+    eng.replay(changelog, batches=[0])
+    with pytest.raises(ValueError, match="no WAP staging window"):
+        eng.audit_staged()
+
+    eng.stage_begin()
+    eng.replay(changelog, batches=[1, 2, 3])
+    v = eng.audit_staged()
+    assert v["ok"] and v["failures"] == []
+    assert v["staged_rows"] > v["base_rows"] > 0
+    assert v["files_delta"] > 0 and v["bytes_delta"] > 0
+    assert not v["schema_changed"]
+
+    # the same window fails a tight growth bound
+    v = eng.audit_staged(max_row_growth=0.0)
+    assert not v["ok"] and "row growth" in v["failures"][0]
+    # and a shrink bound it never hits passes
+    v = eng.audit_staged(max_row_shrink=0.0)
+    assert v["ok"]
+
+    # metadata-only audit: no row fields, growth checks unavailable
+    v = eng.audit_staged(max_row_growth=0.0, count_rows=False)
+    assert v["ok"] and "staged_rows" not in v
+
+    # DDL in the window trips the schema check only when disallowed
+    eng.table.add_column("audit_col", "int", 1)
+    assert eng.audit_staged()["ok"]
+    v = eng.audit_staged(allow_schema_change=False)
+    assert not v["ok"] and "schema version changed" in v["failures"][0]
+    eng.discard_staged()
+
+
+def test_cli_audit_gates_publish(spark, tmp_path, changelog, capsys):
+    """The scripted pipeline shape: replay --wap-stage, audit (rc is the
+    verdict), publish on pass."""
+    import json as _json
+
+    from etl_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    changelog.write.mode("overwrite").parquet(wal)
+    table = str(tmp_path / "t")
+    assert main(["replay", "--changelog", wal, "--table", table, "--wap-stage"]) == 0
+    capsys.readouterr()
+
+    rc = main(["audit", "--table", table, "--max-row-shrink", "0.5"])
+    assert rc == 0
+    verdict = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert verdict["ok"] and verdict["base_rows"] == 0
+
+    # growth from an empty base is huge: a tight growth bound fails (rc=1)
+    rc = main(["audit", "--table", table, "--max-row-growth", "0.1"])
+    assert rc == 1
+    capsys.readouterr()
+
+    assert main(["publish", "--table", table]) == 0
+    capsys.readouterr()
+    with pytest.raises(ValueError, match="no WAP staging window"):
+        main(["audit", "--table", table])  # no window open any more
