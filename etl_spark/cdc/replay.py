@@ -592,6 +592,7 @@ class ReplayEngine:
         columns: list[str] | None = None,
         at_version: int | None = None,
         published: bool = False,
+        at_tag: str | None = None,
     ) -> DataFrame:
         """Current table state. In mor mode, resolves base+delta files
         with the same LWW rule the merge uses and drops tombstones; in
@@ -624,7 +625,12 @@ class ReplayEngine:
         ``published`` resolves the WAP-published snapshot instead of
         the current one: identical to the default outside a staging
         window, the pinned audit base inside one (what downstream
-        readers should consume while an audit holds the gate)."""
+        readers should consume while an audit holds the gate).
+
+        ``at_tag`` time-travels by NAME (``ManifestTable.tag``): the
+        tagged version is exempt from retention for as long as the tag
+        exists, so tag-addressed reads cannot race an expiry tick the
+        way raw-version travel can."""
         from etl_spark.cdc.merge import resolve_state
 
         preds = list(where or [])
@@ -633,9 +639,13 @@ class ReplayEngine:
             raise ValueError(
                 f"unsupported where ops {bad_ops}; supported: = < <= > >= in"
             )
-        if published and at_version is not None:
-            raise ValueError("published=True and at_version are mutually exclusive")
+        if sum([published, at_version is not None, at_tag is not None]) > 1:
+            raise ValueError(
+                "published=True, at_version and at_tag are mutually exclusive"
+            )
         snap = self.table.published_snapshot() if published else None
+        if at_tag is not None:
+            snap = self.table.snapshot_at_tag(at_tag)
         if at_version is not None:
             try:
                 snap = self.table.snapshot_at(at_version)

@@ -23,6 +23,7 @@ Subcommands:
     discard    discard a staged write-audit-publish window (rollback)
     audit      check a staged window against row-delta/schema bounds (rc = verdict)
     inspect    per-snapshot / per-file metadata tables as JSON lines
+    tag        named snapshot refs: pin/list/drop versions against retention
 """
 
 from __future__ import annotations
@@ -205,6 +206,16 @@ def _build_parser() -> argparse.ArgumentParser:
     )
     common(au)
 
+    tg = sub.add_parser(
+        "tag",
+        help="named snapshot refs: pin a version against retention "
+        "(no flags = list tags)",
+    )
+    tg.add_argument("--name", help="tag to create (pins --version or the current version)")
+    tg.add_argument("--version", type=int, help="version to pin (default: current)")
+    tg.add_argument("--drop", metavar="NAME", help="drop this tag instead")
+    common(tg)
+
     pub = sub.add_parser(
         "publish", help="publish the staged WAP window (one atomic flag-clearing commit)"
     )
@@ -321,7 +332,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     attach_cmds = (
         "metrics", "state", "lookup", "expire", "compact", "rebucket",
-        "publish", "discard", "inspect", "audit",
+        "publish", "discard", "inspect", "audit", "tag",
     )
     # chain's downstream may not exist yet (the bootstrap sync creates
     # it) — attach only when it does, so an existing table still opens
@@ -413,6 +424,12 @@ def main(argv: list[str] | None = None) -> int:
         # metadata-bounded collect: O(retained snapshots) or O(files)
         for row in df.collect():
             print(json.dumps(row.asDict(), default=str))
+    elif args.cmd == "tag":
+        if args.drop:
+            engine.table.drop_tag(args.drop)
+        elif args.name:
+            engine.table.tag(args.name, args.version)
+        print(json.dumps({"tags": engine.table.tags()}))
     elif args.cmd == "audit":
         verdict = engine.audit_staged(
             max_row_growth=args.max_row_growth,

@@ -127,6 +127,12 @@ _ENGINE_MANAGED_COLS = ("content_sha256", "_ingest_offset", "_ingest_batch", "_d
 WAP_STAGED_PROP = "wap.staged"
 WAP_BASE_PROP = "wap.base_version"
 
+# Named snapshot refs (Iceberg tag analog): `tag.<name>` -> version.
+# Tagged versions are exempt from expire_snapshots until the tag is
+# dropped — the durable "keep this exact state" mechanism.
+TAG_PROP_PREFIX = "tag."
+_TAG_RE = re.compile(r"[A-Za-z0-9][A-Za-z0-9._-]*\Z")
+
 
 class CommitConflictError(RuntimeError):
     """Another writer claimed this snapshot version first (the
@@ -2012,6 +2018,70 @@ class ManifestTable:
             return snap
         return self.snapshot_at(int(snap.properties[WAP_BASE_PROP]))
 
+    # ---------- tags (named snapshot refs) ----------
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot version under a name (Iceberg tag analog):
+        ``expire_snapshots`` keeps every tagged version, so a tag is
+        the durable form of "this exact state matters" — the
+        audit-passed state, a quarterly baseline, a debug repro.
+        Carried as a snapshot property (``tag.<name>``), so tags ride
+        every commit and cost nothing until expiry consults them.
+
+        Tags are immutable refs: re-tagging an existing name is
+        refused — ``drop_tag`` first (re-pointing a name silently is
+        how "the baseline" quietly becomes a different baseline).
+        Defaults to the current version; tagging a STAGED version is
+        allowed but the tag survives a later discard and keeps that
+        discarded state alive until dropped — tag published states
+        unless you mean it."""
+        if not _TAG_RE.match(name or ""):
+            raise ValueError(
+                f"invalid tag name {name!r}: must match "
+                "[A-Za-z0-9][A-Za-z0-9._-]* (it becomes a property key)"
+            )
+        snap = self.current_snapshot()
+        v = snap.version if version is None else int(version)
+        if v not in self._snapshot_versions():
+            raise ValueError(
+                f"cannot tag version {v}: it never existed or was expired "
+                f"(retained: {self._snapshot_versions()})"
+            )
+        key = TAG_PROP_PREFIX + name
+        if key in snap.properties:
+            raise ValueError(
+                f"tag {name!r} already points at version "
+                f"{snap.properties[key]}; drop_tag first (tags are "
+                "immutable refs)"
+            )
+        self.update_properties({key: str(v)})
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        """Remove a tag; the version it pinned becomes expirable again
+        on the next retention tick (the data is not touched here)."""
+        key = TAG_PROP_PREFIX + name
+        if key not in self.current_snapshot().properties:
+            raise ValueError(f"no tag {name!r}")
+        self.update_properties(remove=(key,))
+
+    def tags(self) -> dict[str, int]:
+        """{tag name: pinned version} from the current snapshot."""
+        return {
+            k[len(TAG_PROP_PREFIX):]: int(v)
+            for k, v in self.current_snapshot().properties.items()
+            if k.startswith(TAG_PROP_PREFIX)
+        }
+
+    def snapshot_at_tag(self, name: str) -> Snapshot:
+        """Time travel by name — the tagged version is retained by
+        expiry for as long as the tag exists, so this cannot race a
+        retention tick the way raw-version travel can."""
+        t = self.tags()
+        if name not in t:
+            raise ValueError(f"no tag {name!r} (tags: {sorted(t)})")
+        return self.snapshot_at(t[name])
+
     # ---------- maintenance ----------
 
     def expire_snapshots(self, keep_last: int = 5) -> dict:
@@ -2036,6 +2106,12 @@ class ManifestTable:
         cur_snap = self.current_snapshot()
         cur = cur_snap.version
         keep = set(sorted(versions)[-keep_last:]) | {cur}
+        # tagged versions are pinned: a tag IS the statement "keep this
+        # exact state" — expirable again the moment the tag is dropped
+        keep |= {
+            int(v) for k, v in cur_snap.properties.items()
+            if k.startswith(TAG_PROP_PREFIX)
+        } & set(versions)
         if cur_snap.properties.get(WAP_STAGED_PROP) == "true":
             # a staged window must stay discardable: published readers
             # resolve the WAP base and discard_staged rolls back to it,
