@@ -125,6 +125,12 @@ def _build_parser() -> argparse.ArgumentParser:
     s = sub.add_parser("stream", help="structured-streaming tail of the changelog dir")
     s.add_argument("--changelog", required=True)
     s.add_argument("--checkpoint", required=True)
+    s.add_argument(
+        "--wap-stage", action="store_true",
+        help="stage the whole backlog drain invisibly to published "
+        "readers (audit then publish/discard, exactly like replay "
+        "--wap-stage; a re-run resumes the open window)",
+    )
     common(s)
 
     c = sub.add_parser("compact", help="compact merge-on-read deltas")
@@ -382,6 +388,8 @@ def main(argv: list[str] | None = None) -> int:
     elif args.cmd == "stream":
         from etl_spark.streaming import stream_replay
 
+        if getattr(args, "wap_stage", False) and not engine.staged():
+            engine.stage_begin()
         stream_replay(
             spark, args.changelog, args.table, args.checkpoint,
             num_buckets=args.buckets, mode=args.mode or "mor",

@@ -262,3 +262,34 @@ def test_cli_audit_gates_publish(spark, tmp_path, changelog, capsys):
     capsys.readouterr()
     with pytest.raises(ValueError, match="no WAP staging window"):
         main(["audit", "--table", table])  # no window open any more
+
+
+def test_cli_stream_wap_stage(spark, tmp_path, changelog, capsys):
+    """stream --wap-stage stages the whole backlog drain: published
+    readers stay at the empty create-time base until publish."""
+    import json as _json
+
+    from etl_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    changelog.write.mode("overwrite").parquet(wal)
+    table = str(tmp_path / "t")
+    rc = main([
+        "stream", "--changelog", wal, "--table", table,
+        "--checkpoint", str(tmp_path / "ckpt"), "--wap-stage",
+    ])
+    assert rc == 0
+    capsys.readouterr()
+
+    rc = main(["state", "--table", table, "--published"])
+    pub = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pub["rows"] == 0 and pub["table"]["wap_staged"] is True
+    rc = main(["state", "--table", table])
+    staged = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert staged["rows"] > 0
+
+    assert main(["publish", "--table", table]) == 0
+    capsys.readouterr()
+    rc = main(["state", "--table", table, "--published"])
+    pub = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert pub["rows"] == staged["rows"]
