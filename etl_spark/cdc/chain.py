@@ -137,7 +137,14 @@ def propagate_changes(src: ReplayEngine, dst: ReplayEngine) -> dict:
                 "recreate the downstream (full resync) or expire less "
                 "aggressively upstream (keep_last > sync interval)"
             )
-        feed = src.read_state(published=True).withColumn("_deleted", F.lit(False))
+        # read AT the pinned version, not published=True: a concurrent
+        # upstream publish between the snapshot resolution above and
+        # this read would otherwise feed the replica rows beyond the
+        # watermark being recorded (re-pulled next cycle, deduped by the
+        # fence — but the feed and the watermark must name ONE snapshot)
+        feed = src.read_state(at_version=src_version).withColumn(
+            "_deleted", F.lit(False)
+        )
     else:
         feed = src.changes_between(last, src_version)
     events = changes_to_events(feed, batch_id)

@@ -40,7 +40,13 @@ from etl_spark.cdc.evolution import (
 )
 from etl_spark.cdc.merge import merge_batch
 from etl_spark.schema import INGEST_METRICS_SCHEMA
-from etl_spark.table.manifest import ColumnDef, ManifestTable, TableSchema
+from etl_spark.table.manifest import (
+    WAP_BASE_PROP,
+    WAP_STAGED_PROP,
+    ColumnDef,
+    ManifestTable,
+    TableSchema,
+)
 
 # target table schema v1: input_hint columns + fingerprint + per-row
 # lineage + the merge-on-read tombstone flag (always False in cow mode)
@@ -369,8 +375,6 @@ class ReplayEngine:
     def staged(self) -> bool:
         """True while a WAP staging window is open (commits land in the
         history but published readers resolve the pinned base)."""
-        from etl_spark.table.manifest import WAP_STAGED_PROP
-
         return (
             self.table.current_snapshot().properties.get(WAP_STAGED_PROP) == "true"
         )
@@ -400,27 +404,29 @@ class ReplayEngine:
         one audit window at a time; resumable callers check
         ``staged()`` first (a crashed stager's window is still open and
         still discardable)."""
-        from etl_spark.table.manifest import WAP_BASE_PROP, WAP_STAGED_PROP
+        # base version computed against EACH commit attempt's snapshot
+        # (update_properties' compute contract): pinning a version read
+        # BEFORE the staging commit would, on a conflict retry against a
+        # concurrent commit, record a base BELOW that already-published
+        # commit — published readers would move backward and discard
+        # would roll back a commit that was never staged
+        def _compute(snap) -> tuple[dict, tuple]:
+            if snap.properties.get(WAP_STAGED_PROP) == "true":
+                raise ValueError(
+                    "a WAP staging window is already open (base version "
+                    f"{snap.properties[WAP_BASE_PROP]}); publish_staged() "
+                    "or discard_staged() first"
+                )
+            return {WAP_STAGED_PROP: "true", WAP_BASE_PROP: str(snap.version)}, ()
 
-        snap = self.table.current_snapshot()
-        if snap.properties.get(WAP_STAGED_PROP) == "true":
-            raise ValueError(
-                "a WAP staging window is already open (base version "
-                f"{snap.properties[WAP_BASE_PROP]}); publish_staged() or "
-                "discard_staged() first"
-            )
-        self.table.update_properties(
-            {WAP_STAGED_PROP: "true", WAP_BASE_PROP: str(snap.version)}
-        )
-        return snap.version
+        new = self.table.update_properties(compute=_compute)
+        return int(new.properties[WAP_BASE_PROP])
 
     def publish_staged(self) -> int:
         """Atomically publish every commit staged since ``stage_begin``:
         one metadata-only commit clears the staged flag, and published
         readers move from the pinned base to the full history in one
         step. Returns the newly published version."""
-        from etl_spark.table.manifest import WAP_BASE_PROP, WAP_STAGED_PROP
-
         if not self.staged():
             raise ValueError("no WAP staging window is open")
         return self.table.update_properties(
@@ -434,8 +440,6 @@ class ReplayEngine:
         base's fence/applied properties, so the engine re-accepts the
         discarded batches' offsets — fix the feed and replay. Returns
         the restored (published) version."""
-        from etl_spark.table.manifest import WAP_BASE_PROP
-
         snap = self.table.current_snapshot()
         if not self.staged():
             raise ValueError("no WAP staging window is open")
@@ -466,21 +470,27 @@ class ReplayEngine:
 
         The verdict always records base/staged versions, schema
         change, and the manifest's file/byte deltas (metadata-only,
-        from the document summaries) so an operator sees WHAT the
-        window did even when every check passes."""
-        from etl_spark.table.manifest import WAP_BASE_PROP
-
+        from the document summaries — no shard hydration) so an
+        operator sees WHAT the window did even when every check
+        passes."""
+        if not count_rows and (
+            max_row_growth is not None or max_row_shrink is not None
+        ):
+            # a bound the caller asked for must never pass vacuously:
+            # count_rows=False skips the reads the bounds need, so the
+            # combination would publish exactly the window the operator
+            # tried to gate
+            raise ValueError(
+                "max_row_growth/max_row_shrink require count_rows=True "
+                "(a metadata-only audit cannot check row bounds)"
+            )
         snap = self.table.current_snapshot()
         if not self.staged():
             raise ValueError("no WAP staging window is open")
         base = self.table.snapshot_at(int(snap.properties[WAP_BASE_PROP]))
 
-        def _meta(s):
-            per = self.table.bucket_summary(s)
-            return sum(p["files"] for p in per), sum(p["bytes"] for p in per)
-
-        base_files, base_bytes = _meta(base)
-        staged_files, staged_bytes = _meta(snap)
+        base_files, _, base_bytes, _ = self.table.summary_totals(base)
+        staged_files, _, staged_bytes, _ = self.table.summary_totals(snap)
         schema_changed = (
             snap.current_schema_version != base.current_schema_version
         )
@@ -759,10 +769,10 @@ class ReplayEngine:
                 + 1
                 + len(snap.properties.get("applied_batches", []))
             ),
-            "wap_staged": snap.properties.get("wap.staged") == "true",
+            "wap_staged": snap.properties.get(WAP_STAGED_PROP) == "true",
             "published_version": (
-                int(snap.properties["wap.base_version"])
-                if snap.properties.get("wap.staged") == "true"
+                int(snap.properties[WAP_BASE_PROP])
+                if snap.properties.get(WAP_STAGED_PROP) == "true"
                 else snap.version
             ),
         }

@@ -433,12 +433,27 @@ def main(argv: list[str] | None = None) -> int:
         for row in df.collect():
             print(json.dumps(row.asDict(), default=str))
     elif args.cmd == "tag":
+        # refuse ambiguous combinations instead of silently partial-
+        # executing: '--drop X --name Y' would drop without creating,
+        # '--version N' alone would print the list while the operator
+        # believes N is pinned — both exit-0 traps
+        if args.drop and (args.name or args.version is not None):
+            raise SystemExit("tag: --drop cannot be combined with --name/--version")
+        if args.version is not None and not args.name:
+            raise SystemExit("tag: --version requires --name (nothing was pinned)")
         if args.drop:
             engine.table.drop_tag(args.drop)
         elif args.name:
             engine.table.tag(args.name, args.version)
         print(json.dumps({"tags": engine.table.tags()}))
     elif args.cmd == "audit":
+        if args.no_count and (
+            args.max_row_growth is not None or args.max_row_shrink is not None
+        ):
+            raise SystemExit(
+                "audit: --no-count cannot be combined with row bounds "
+                "(the bound would pass vacuously)"
+            )
         verdict = engine.audit_staged(
             max_row_growth=args.max_row_growth,
             max_row_shrink=args.max_row_shrink,

@@ -1683,6 +1683,27 @@ class ManifestTable:
 
 # ---------- inspect tables ----------
 
+    def summary_totals(self, snap: Snapshot) -> tuple[int, int, int, int]:
+        """(files, delta_files, bytes, rows) for one snapshot from the
+        document-level bucket summaries — no shard hydration when every
+        summary field is present (the normal case; legacy entries fall
+        back per bucket). The metadata-cost-honest path for anything
+        that only needs totals: inspect history, audit deltas."""
+        files = delta = by = r = 0
+        for b in list(snap.files):
+            files += self._bucket_stat(snap, b, "n", len)
+            delta += self._bucket_stat(
+                snap, b, "d",
+                lambda es: sum(1 for e in es if self._entry_is_delta(e)),
+            )
+            by += self._bucket_stat(
+                snap, b, "by", lambda es: sum(self._entry_bytes(e) for e in es)
+            )
+            r += self._bucket_stat(
+                snap, b, "r", lambda es: sum(e.get("rows", 0) or 0 for e in es)
+            )
+        return files, delta, by, r
+
     def snapshots_df(self) -> DataFrame:
         """Iceberg inspect-table parity (``table.snapshots``): one row
         per RETAINED snapshot — version, schema version, bucket layout,
@@ -1702,19 +1723,7 @@ class ManifestTable:
                 snap = self.snapshot_at(v)
             except FileNotFoundError:  # raced a concurrent expiry tick
                 continue
-            files = delta = by = r = 0
-            for b in list(snap.files):
-                files += self._bucket_stat(snap, b, "n", len)
-                delta += self._bucket_stat(
-                    snap, b, "d",
-                    lambda es: sum(1 for e in es if self._entry_is_delta(e)),
-                )
-                by += self._bucket_stat(
-                    snap, b, "by", lambda es: sum(self._entry_bytes(e) for e in es)
-                )
-                r += self._bucket_stat(
-                    snap, b, "r", lambda es: sum(e.get("rows", 0) or 0 for e in es)
-                )
+            files, delta, by, r = self.summary_totals(snap)
             rows.append((
                 v, snap.current_schema_version, snap.num_buckets,
                 len(snap.files), files, delta, by, r,
@@ -1962,16 +1971,32 @@ class ManifestTable:
         history too and re-rollback-able). Iceberg-parity recovery for
         a bad batch: roll back, fix, re-apply — the fence properties
         restored with the snapshot make the engine re-accept the rolled
-        back offsets."""
+        back offsets.
+
+        Tags are REFS, not table state (Iceberg keeps refs outside
+        snapshot metadata; here they ride properties as a storage
+        choice): rollback restores the old snapshot's state but keeps
+        the CURRENT tag namespace, so a tag created after ``version`` —
+        including one pinning a staged state about to be discarded —
+        survives and keeps its target retained, exactly as ``tag()``
+        documents."""
         old = self.snapshot_at(version)
         cur = self.current_snapshot()
+        props = {
+            k: v for k, v in old.properties.items()
+            if not k.startswith(TAG_PROP_PREFIX)
+        }
+        props.update({
+            k: v for k, v in cur.properties.items()
+            if k.startswith(TAG_PROP_PREFIX)
+        })
         new = Snapshot(
             version=cur.version + 1,
             current_schema_version=old.current_schema_version,
             schemas=old.schemas,
             num_buckets=old.num_buckets,
             files=old.files,
-            properties=dict(old.properties),
+            properties=props,
         )
         self._commit(new)
         return new
@@ -1979,17 +2004,30 @@ class ManifestTable:
     # ---------- properties / write-audit-publish ----------
 
     def update_properties(
-        self, set_props: dict | None = None, remove: tuple | list = ()
+        self, set_props: dict | None = None, remove: tuple | list = (),
+        compute=None,
     ) -> Snapshot:
         """Metadata-only commit that sets and/or REMOVES snapshot
         properties (the per-commit ``properties_update`` path can only
         merge keys in — removal needs its own commit shape). Files and
         schema alias the parent's, so the commit writes one small
         document; a conflict rebases against the refreshed snapshot and
-        retries, like DDL."""
+        retries, like DDL.
+
+        ``compute``: callable ``snap -> (set_props, remove)`` evaluated
+        against the snapshot of EACH attempt, for updates whose values
+        or preconditions depend on the current state (WAP stage-begin
+        pins ``snap.version``; tag creation asserts name uniqueness).
+        A caller that computed those outside the loop would race
+        concurrent committers: the conflict retry would rebase onto a
+        NEWER snapshot while committing the stale value — e.g. a WAP
+        base below a just-published commit, silently un-publishing it.
+        ``compute`` may raise to abort (nothing commits)."""
         last: CommitConflictError | None = None
         for _ in range(COMMIT_RETRIES):
             snap = self.current_snapshot()
+            if compute is not None:
+                set_props, remove = compute(snap)
             props = {k: v for k, v in snap.properties.items() if k not in set(remove)}
             props.update(set_props or {})
             new = Snapshot(
@@ -2040,22 +2078,32 @@ class ManifestTable:
                 f"invalid tag name {name!r}: must match "
                 "[A-Za-z0-9][A-Za-z0-9._-]* (it becomes a property key)"
             )
-        snap = self.current_snapshot()
-        v = snap.version if version is None else int(version)
-        if v not in self._snapshot_versions():
-            raise ValueError(
-                f"cannot tag version {v}: it never existed or was expired "
-                f"(retained: {self._snapshot_versions()})"
-            )
         key = TAG_PROP_PREFIX + name
-        if key in snap.properties:
-            raise ValueError(
-                f"tag {name!r} already points at version "
-                f"{snap.properties[key]}; drop_tag first (tags are "
-                "immutable refs)"
-            )
-        self.update_properties({key: str(v)})
-        return v
+        pinned: list[int] = []
+
+        # precondition + value computed against EACH attempt's snapshot
+        # (update_properties' compute contract): checking against a
+        # pre-loop snapshot would let a concurrent tagger's commit slip
+        # past the uniqueness refusal on the conflict retry — a silent
+        # last-wins overwrite of an "immutable" ref
+        def _compute(snap: Snapshot) -> tuple[dict, tuple]:
+            v = snap.version if version is None else int(version)
+            if v not in self._snapshot_versions():
+                raise ValueError(
+                    f"cannot tag version {v}: it never existed or was "
+                    f"expired (retained: {self._snapshot_versions()})"
+                )
+            if key in snap.properties:
+                raise ValueError(
+                    f"tag {name!r} already points at version "
+                    f"{snap.properties[key]}; drop_tag first (tags are "
+                    "immutable refs)"
+                )
+            pinned[:] = [v]
+            return {key: str(v)}, ()
+
+        self.update_properties(compute=_compute)
+        return pinned[0]
 
     def drop_tag(self, name: str) -> None:
         """Remove a tag; the version it pinned becomes expirable again

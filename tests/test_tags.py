@@ -100,3 +100,46 @@ def test_cli_tag_verb(spark, tmp_path, changelog, capsys):
     assert main(["tag", "--table", table, "--drop", "release-1"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["tags"] == {}
+
+
+def test_tag_survives_discard_and_pins_discarded_state(spark, tmp_path, changelog):
+    """The documented contract: a tag created inside a staged window
+    survives the discard (rollback restores table STATE, tags are
+    REFS) and keeps the discarded state retained and readable."""
+    eng = ReplayEngine(spark, str(tmp_path / "t"), num_buckets=4, mode="mor")
+    eng.replay(changelog, batches=[0])
+    eng.stage_begin()
+    eng.replay(changelog, batches=[1])
+    staged_state = _state(eng)
+    v = eng.table.tag("repro")
+    eng.discard_staged()
+
+    assert eng.table.tags() == {"repro": v}
+    eng.table.expire_snapshots(keep_last=1)
+    assert v in eng.table._snapshot_versions()
+    pd.testing.assert_frame_equal(_state(eng, at_tag="repro"), staged_state)
+    # dropping the tag releases the discarded state to retention
+    eng.table.drop_tag("repro")
+    eng.table.expire_snapshots(keep_last=1)
+    assert v not in eng.table._snapshot_versions()
+
+
+def test_cli_tag_flag_combos_refused(spark, tmp_path, changelog, capsys):
+    from etl_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    changelog.write.mode("overwrite").parquet(wal)
+    table = str(tmp_path / "t")
+    assert main(["replay", "--changelog", wal, "--table", table]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="--version requires --name"):
+        main(["tag", "--table", table, "--version", "1"])
+    with pytest.raises(SystemExit, match="cannot be combined"):
+        main(["tag", "--table", table, "--drop", "x", "--name", "y"])
+    assert eng_tags_empty(table, spark)
+
+
+def eng_tags_empty(table, spark):
+    from etl_spark.cdc.replay import ReplayEngine
+
+    return ReplayEngine.attach(spark, table).table.tags() == {}

@@ -223,9 +223,13 @@ def test_audit_staged_verdicts(spark, tmp_path, changelog):
     v = eng.audit_staged(max_row_shrink=0.0)
     assert v["ok"]
 
-    # metadata-only audit: no row fields, growth checks unavailable
-    v = eng.audit_staged(max_row_growth=0.0, count_rows=False)
+    # metadata-only audit: no row fields; combining it with a row bound
+    # is refused (the bound would pass vacuously, publishing exactly the
+    # window the operator tried to gate)
+    v = eng.audit_staged(count_rows=False)
     assert v["ok"] and "staged_rows" not in v
+    with pytest.raises(ValueError, match="require count_rows"):
+        eng.audit_staged(max_row_growth=0.0, count_rows=False)
 
     # DDL in the window trips the schema check only when disallowed
     eng.table.add_column("audit_col", "int", 1)
@@ -293,3 +297,17 @@ def test_cli_stream_wap_stage(spark, tmp_path, changelog, capsys):
     rc = main(["state", "--table", table, "--published"])
     pub = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert pub["rows"] == staged["rows"]
+
+
+def test_cli_audit_no_count_with_bounds_refused(spark, tmp_path, changelog, capsys):
+    from etl_spark.cli import main
+
+    wal = str(tmp_path / "wal")
+    changelog.write.mode("overwrite").parquet(wal)
+    table = str(tmp_path / "t")
+    assert main(["replay", "--changelog", wal, "--table", table, "--wap-stage"]) == 0
+    capsys.readouterr()
+    with pytest.raises(SystemExit, match="pass vacuously"):
+        main(["audit", "--table", table, "--no-count", "--max-row-growth", "0.1"])
+    # the metadata-only audit alone still works
+    assert main(["audit", "--table", table, "--no-count"]) == 0
