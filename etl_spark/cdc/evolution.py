@@ -19,6 +19,7 @@ import json
 from pyspark.sql import SparkSession
 
 from etl_spark.table.manifest import (
+    _ENGINE_MANAGED_COLS as _ENGINE_MANAGED,
     ManifestTable,
     check_column_name,
     validate_column_type,
@@ -33,7 +34,10 @@ KNOWN_KINDS = ("add_column", "rename_column", "widen_type", "drop_column")
 _REQUIRED_DETAIL = {"rename_column": "new_name", "widen_type": "new_type"}
 
 
-def check_schema_ops(rows, key_columns: list[str] | None = None) -> None:
+def check_schema_ops(
+    rows, key_columns: list[str] | None = None,
+    fence: int = -1, applied_offsets=(),
+) -> None:
     """Refuse a malformed schema-ops feed loudly, before any op commits.
 
     The ops frame is user-supplied (``ReplayEngine.replay(schema_ops=)``,
@@ -54,7 +58,17 @@ def check_schema_ops(rows, key_columns: list[str] | None = None) -> None:
     so a replay never half-applies a feed whose later op is doomed.
     Schema-state-dependent guards (rename collision, no-such-column)
     necessarily stay apply-time.
+
+    The column guards apply only to PENDING ops (offset above ``fence``
+    and not in ``applied_offsets``), mirroring the apply path, which
+    drops fenced ops unexecuted: a guarded op in an already-fenced WAL
+    region will never run, so refusing the whole feed over it would be
+    a false refusal of every legitimate pending op behind it. The
+    structural checks (NULL fields, unknown kinds, duplicate offsets,
+    unparseable/missing detail) stay feed-wide — malformed is malformed
+    wherever it sits.
     """
+    applied = set(applied_offsets)
     seen: dict = {}
     for r in rows:
         off, kind, col = r["offset"], r["kind"], r["column"]
@@ -97,16 +111,14 @@ def check_schema_ops(rows, key_columns: list[str] | None = None) -> None:
                 f"schema-op {kind} {col!r} at offset {off} requires "
                 f"detail key {req!r} (got {sorted(d)})"
             )
-        if key_columns is not None:
+        if key_columns is not None and off > fence and off not in applied:
             guard = _column_guard(kind, col, key_columns)
             if guard:
                 raise ValueError(f"schema-op at offset {off}: {guard}")
 
 
-#: row-metadata columns the engine recomputes by name every batch
-#: (mirrors manifest._ENGINE_MANAGED_COLS; duplicated to keep the ops
-#: contract check importable without the table layer)
-_ENGINE_MANAGED = ("content_sha256", "_ingest_offset", "_ingest_batch", "_deleted")
+# NOTE: the engine-managed column list is imported from the table layer
+# above — it IS the source of truth; a local copy was a drift hazard.
 
 
 def simulate_schema_ops(
@@ -114,6 +126,7 @@ def simulate_schema_ops(
     rows,
     fence: int = -1,
     applied_offsets=(),
+    spark: SparkSession | None = None,
 ) -> dict[str, str]:
     """Dry-run every PENDING op of an (already contract-checked) feed
     against the current schema, raising the refusal apply time would —
@@ -168,7 +181,12 @@ def simulate_schema_ops(
             # then wedges every later read/merge — run the table layer's
             # pre-commit validation here so the whole feed is refused
             # before ANY op applies (apply time re-checks regardless)
-            sess = SparkSession.getActiveSession()
+            # engine callers pass their session explicitly — relying on
+            # the thread-local active session alone silently skipped the
+            # type/default validation from non-driver threads (streaming
+            # foreachBatch), degrading "whole feed refused up front" back
+            # to half-applied
+            sess = spark or SparkSession.getActiveSession()
             if sess is not None:
                 try:
                     validate_column_type(

@@ -271,6 +271,9 @@ class ReplayEngine:
         self.expire_every = expire_every
         self.expire_keep_last = expire_keep_last
         self._commits_since_expire = 0
+        # content fingerprint of the last ops feed that passed the full
+        # contract check + dry run — see _check_ops_feed
+        self._validated_ops_key: tuple | None = None
         keys = list(key_columns or ["repo", "path"])
         cols = [ColumnDef(c.id, c.name, c.type, c.default) for c in (target_columns or CDC_TARGET_COLUMNS)]
         have = {c.name for c in cols}
@@ -789,6 +792,39 @@ class ReplayEngine:
             where=[(k, "=", key_values[k]) for k in self.table.key_columns]
         )
 
+    def _check_ops_feed(self, ops_rows, snap) -> None:
+        """Contract-check + dry-run a schema-ops feed, once per feed
+        CONTENT: the validation launches driver Spark jobs (default
+        casts via ``validate_column_type``), so re-running it for every
+        batch of a replay — and every micro-batch of a stream — would
+        put N tiny jobs on the hot loop for a feed already proven
+        valid. Keyed by the collected rows' values (not object
+        identity), so any changed feed re-validates and a re-used
+        engine can never skip a different feed's check."""
+        # sort key must tolerate the NULL fields the contract check
+        # exists to refuse (None < int comparisons raise before the
+        # loud refusal could fire)
+        key = tuple(
+            sorted(
+                ((r["offset"], r["kind"], r["column"], r["detail"]) for r in ops_rows),
+                key=lambda t: tuple((v is None, v) for v in t),
+            )
+        )
+        if key == self._validated_ops_key:
+            return
+        fence = int(snap.properties.get("fence_offset", -1))
+        applied = snap.properties.get("applied_schema_ops", [])
+        check_schema_ops(
+            ops_rows, self.table.key_columns,
+            fence=fence, applied_offsets=applied,
+        )
+        simulate_schema_ops(
+            [(c.name, c.type) for c in snap.schema.columns],
+            ops_rows, fence=fence, applied_offsets=applied,
+            spark=self.spark,
+        )
+        self._validated_ops_key = key
+
     def changes_between(self, from_version: int, to_version: int) -> DataFrame:
         """Incremental change feed FROM the table (C1 as a table-side
         reader): rows committed between two snapshot versions. Exact
@@ -965,7 +1001,13 @@ class ReplayEngine:
         # refuse the two silent-data-loss shapes up front (see
         # docstring): non-WAL feeds and out-of-order application. The
         # snapshot parse is cached-handle metadata, not a Spark job.
-        props0 = self.table.current_snapshot().properties
+        # ONE snapshot read serves both the WAL check and the ops dry
+        # run: schema and fence/applied must describe the same version
+        # (a concurrent commit between two reads would make the dry run
+        # see an op's effect in the schema while treating it as pending
+        # — a false "already exists" refusal)
+        snap0 = self.table.current_snapshot()
+        props0 = snap0.properties
         wm0, res0 = _applied_state(props0)
         check_wal_shape(
             bounds, batches, wm0, res0,
@@ -978,14 +1020,7 @@ class ReplayEngine:
             # the state-dependent refusals (no-such-column, collision,
             # non-widenable type) are up-front too, never half-applied
             ops_rows0 = schema_ops.collect()
-            check_schema_ops(ops_rows0, self.table.key_columns)
-            snap0 = self.table.current_snapshot()
-            simulate_schema_ops(
-                [(c.name, c.type) for c in snap0.schema.columns],
-                ops_rows0,
-                fence=int(props0.get("fence_offset", -1)),
-                applied_offsets=props0.get("applied_schema_ops", []),
-            )
+            self._check_ops_feed(ops_rows0, snap0)
         if self.mode == "cow" and pipeline_depth > 1 and schema_ops is None:
             return self._replay_cow_pipelined(
                 changelog, bounds, sorted(batches), delete_guard, pipeline_depth,
@@ -1468,13 +1503,7 @@ class ReplayEngine:
             # also sees rows a `offset <= hi` pushdown would hide (NULL
             # offsets from malformed PERMISSIVE-mode lines)
             ops_rows = schema_ops.collect()
-            check_schema_ops(ops_rows, self.table.key_columns)
-            simulate_schema_ops(
-                [(c.name, c.type) for c in snap.schema.columns],
-                ops_rows,
-                fence=fence,
-                applied_offsets=snap.properties.get("applied_schema_ops", []),
-            )
+            self._check_ops_feed(ops_rows, snap)
             applied_ops = set(snap.properties.get("applied_schema_ops", []))
             pending = sorted(
                 (

@@ -193,13 +193,25 @@ _IDENT_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*\Z")
 
 def check_column_name(name: str) -> None:
     """Refuse a column name the engine's unquoted by-name references
-    could not survive (see ``_IDENT_RE``)."""
+    could not survive (see ``_IDENT_RE``), or that collides with the
+    writer's internal partition column."""
     if not isinstance(name, str) or not _IDENT_RE.match(name):
         raise ValueError(
             f"invalid column name {name!r}: the engine references columns "
             "by bare name (unquoted DDL strings, F.col, SQL fragments), so "
             "names must match [A-Za-z_][A-Za-z0-9_]* — a dot would resolve "
             "as struct access and punctuation breaks the schema parse"
+        )
+    if name.lower() == _BUCKET_COL:
+        # the identifier regex admits it, but every write materializes
+        # its own __bucket routing column (withColumn + partitionBy) —
+        # a STORED column of that name commits its schema fine and then
+        # wedges the first post-DDL write on the duplicate projection
+        # (folded case: Spark resolves references case-insensitively)
+        raise ValueError(
+            f"column name {name!r} is reserved: the writer partitions "
+            f"every commit by an internal {_BUCKET_COL!r} column, so a "
+            "stored column of that name would collide at the first write"
         )
 
 
